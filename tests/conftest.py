@@ -1,0 +1,16 @@
+"""Test harness configuration.
+
+Tests run on CPU with 8 virtual devices so multi-chip sharding paths
+(data-parallel pjit over a Mesh) can be exercised without TPU hardware —
+this substitutes for the reference's missing distributed-test story
+(SURVEY.md §4).
+"""
+
+import os
+
+# Must happen before jax initializes its backends.
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
