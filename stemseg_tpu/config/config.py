@@ -174,11 +174,13 @@ class EmbeddingsHeadConfig:
     scale: Tuple[int, ...] = (32, 16, 8, 4)
     embedding_size: int = 3
     tanh_activation: bool = True
-    # NOTE (parity trap, SURVEY.md §7): the reference never wires
-    # cfg.MODEL.EMBEDDINGS.TIME_SCALE into the decoder's `time_scale` buffer
-    # (init 1.0, overwritten by checkpoint load). We wire it explicitly; when
-    # converting reference checkpoints the stored buffer value wins.
-    time_scale: float = 0.1
+    # NOTE (parity trap, SURVEY.md §7): the reference's defaults.yaml says
+    # TIME_SCALE 0.1 but never wires it into the decoder's `time_scale`
+    # buffer, which stays at its init value 1.0 unless overwritten by a
+    # checkpoint load. We default to the *effective* reference value (1.0)
+    # and wire it explicitly; converted reference checkpoints override it
+    # with the stored buffer value.
+    time_scale: float = 1.0
     normalization_layer: str = "gn"  # "gn" | "none"
     gn_num_groups: int = 32
     pool_type: str = "avg"  # "avg" | "max"
