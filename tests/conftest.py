@@ -4,6 +4,11 @@ Tests run on CPU with 8 virtual devices so multi-chip sharding paths
 (data-parallel pjit over a Mesh) can be exercised without TPU hardware —
 this substitutes for the reference's missing distributed-test story
 (SURVEY.md §4).
+
+NOTE: the axon sitecustomize registers the TPU-tunnel backend and forces
+``jax_platforms="axon,cpu"`` *programmatically*, so the ``JAX_PLATFORMS``
+env var alone is NOT enough — we must override via ``jax.config.update``
+after importing jax (before any backend is initialized).
 """
 
 import os
@@ -14,3 +19,7 @@ flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")

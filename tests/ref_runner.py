@@ -1,0 +1,87 @@
+"""Subprocess helper: run the reference PyTorch model and dump golden data.
+
+Executed as ``python tests/ref_runner.py <input.npz> <out.npz>`` in a clean
+process (torch and JAX dislike sharing one process's thread pools). Reads a
+clip from ``input.npz`` (key ``x``: [N, T, H, W, 3] float32, channels-last),
+builds the reference ``TrainingModel`` on its default config, and writes:
+
+* ``state/<torch key>`` — every state-dict entry,
+* ``embeddings`` / ``semseg`` — head outputs, converted to [N, T, H, W, C].
+
+pycocotools / imgaug are stubbed (the reference's package ``__init__`` drags
+in its data layer, irrelevant here).
+"""
+
+import sys
+import types
+
+import numpy as np
+
+
+def _install_stubs():
+    stub_names = (
+        "pycocotools", "pycocotools.mask",
+        "imgaug", "imgaug.augmenters",
+        "imgaug.augmentables", "imgaug.augmentables.segmaps",
+    )
+    for mod_name in stub_names:
+        if mod_name not in sys.modules:
+            mod = types.ModuleType(mod_name)
+            mod.__path__ = []
+            sys.modules[mod_name] = mod
+            parent, _, child = mod_name.rpartition(".")
+            if parent:
+                setattr(sys.modules[parent], child, mod)
+    sys.modules["imgaug.augmentables.segmaps"].SegmentationMapsOnImage = object
+
+    import yaml
+
+    if not getattr(yaml, "_stemseg_patched", False):
+        orig_load = yaml.load
+
+        def load(stream, Loader=None):
+            return orig_load(stream, Loader=Loader or yaml.SafeLoader)
+
+        yaml.load = load
+        yaml._stemseg_patched = True
+
+
+def main(input_npz: str, out_npz: str, reference_root: str = "/root/reference"):
+    sys.path.insert(0, reference_root)
+    _install_stubs()
+
+    import torch
+
+    torch.set_num_threads(max(1, (torch.get_num_threads() or 2) // 2))
+
+    from stemseg.modeling.model_builder import build_model  # noqa: E402
+
+    tm = build_model()
+    tm.eval()
+
+    x = np.load(input_npz)["x"]  # [N, T, H, W, 3]
+    n, t, h, w, _ = x.shape
+
+    out = {}
+    for key, val in tm.state_dict().items():
+        out[f"state/{key}"] = val.detach().numpy()
+
+    with torch.no_grad():
+        xt = torch.from_numpy(
+            np.ascontiguousarray(np.transpose(x.reshape(n * t, h, w, 3), (0, 3, 1, 2))))
+        feats = tm.backbone(xt)  # finest (4x) first
+
+        def lift(f):
+            return f.view(n, t, *f.shape[1:]).permute(0, 2, 1, 3, 4)
+
+        emb = tm.embedding_head([lift(f) for f in feats[::-1]])
+        out["embeddings"] = emb.permute(0, 2, 3, 4, 1).numpy()
+        if tm.semseg_head is not None:
+            semseg = tm.semseg_head([lift(f) for f in feats])
+            out["semseg"] = semseg.permute(0, 2, 3, 4, 1).numpy()
+
+    np.savez(out_npz, **out)
+
+
+if __name__ == "__main__":
+    main(*sys.argv[1:])
