@@ -178,8 +178,9 @@ def max_pool_3d(x: jnp.ndarray, window: Tuple[int, int, int],
     dims = (1,) + window + (1,)
     strides_ = (1,) + strides + (1,)
     pad = ((0, 0),) + tuple((p, p) for p in padding) + ((0, 0),)
-    neg_inf = jnp.array(-jnp.inf, dtype=x.dtype)
-    return jax.lax.reduce_window(x, neg_inf, jax.lax.max, dims, strides_, pad)
+    # init value must be a literal (not a traced array) for JAX to recognize
+    # the max monoid and support reverse-mode autodiff
+    return jax.lax.reduce_window(x, -np.inf, jax.lax.max, dims, strides_, pad)
 
 
 def max_pool_2d(x: jnp.ndarray, window: Tuple[int, int],
@@ -188,8 +189,7 @@ def max_pool_2d(x: jnp.ndarray, window: Tuple[int, int],
     dims = (1,) + window + (1,)
     strides_ = (1,) + strides + (1,)
     pad = ((0, 0),) + tuple((p, p) for p in padding) + ((0, 0),)
-    neg_inf = jnp.array(-jnp.inf, dtype=x.dtype)
-    return jax.lax.reduce_window(x, neg_inf, jax.lax.max, dims, strides_, pad)
+    return jax.lax.reduce_window(x, -np.inf, jax.lax.max, dims, strides_, pad)
 
 
 # ---------------------------------------------------------------------------
