@@ -1,0 +1,176 @@
+"""Sequential seeded clustering of spatio-temporal embeddings — TPU-native.
+
+Behavioral reference: ``/root/reference/stemseg/inference/clusterers.py:34-175``
+(``SequentialClustering``). The reference gathers the window's fg-pixel
+embeddings into a ragged list and loops on the GPU driver thread; here the
+loop is a fixed-trip ``lax.fori_loop`` (≤ ``max_instances``) over the DENSE
+point set with validity masking — static shapes, one compiled graph per
+window geometry, zero host round-trips.
+
+Semantics preserved exactly:
+
+* seed = argmax seediness among unassigned fg points (:168-175); stop when
+  its seediness < ``min_seediness_prob`` (:117) — sticky stop flag;
+* the SEED PIXEL's own bandwidth is used for the whole cluster (no
+  averaging, :109-120), free dims get fixed ``1/std²`` (:100-104);
+* distance ``sqrt(Σ (e-c)²·bw)`` (:57-58), prob ``exp(-0.5·d)`` (:52-54) —
+  note this differs from the training prob (no sqrt there), a documented
+  reference quirk (SURVEY.md §7);
+* primary assignment: prob > primary_thresh among currently-unassigned
+  (:139-145);
+* secondary pass (:148-159): reference takes ``.max(dim=1)`` over cluster
+  DISTANCES — i.e. assigns leftovers to the *farthest* cluster whose prob
+  still exceeds the secondary threshold, and gates on the availability mask
+  captured at the start of the last executed loop iteration (stale when the
+  loop exhausts ``max_instances``). ``secondary_assignment="reference"``
+  replicates both quirks; ``"nearest"`` uses min-distance and the fresh mask.
+
+Dense-vs-ragged: operating on all T·H·W points with an fg mask wastes a few
+arithmetic lanes on bg points but keeps every shape static and lets the VPU
+stream the distance computation; bg points are masked out of seeding,
+assignment and output labels.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+class ClusterParams(NamedTuple):
+    primary_prob_thresh: float = 0.5
+    secondary_prob_thresh: float = 0.3
+    min_seediness_prob: float = 0.8
+    max_instances: int = 20
+    n_free_dims: int = 0
+    free_dim_stds: Tuple[float, ...] = ()
+    secondary_assignment: str = "reference"  # or "nearest"
+
+
+class ClusterResult(NamedTuple):
+    labels: jnp.ndarray        # [P] int32; -1 = bg / unassigned (outlier)
+    centers: jnp.ndarray       # [max_instances, E]
+    bandwidths: jnp.ndarray    # [max_instances, E] (activated, incl. free dims)
+    valid: jnp.ndarray         # [max_instances] bool — cluster was created
+    seed_probs: jnp.ndarray    # [max_instances] seediness of each seed
+
+
+@partial(jax.jit, static_argnums=(4,))
+def _cluster(embeddings, bandwidths, seediness, fg_mask, params: ClusterParams):
+    p, e = embeddings.shape
+    k = params.max_instances
+    f = len(params.free_dim_stds)
+    free_bw = jnp.asarray([1.0 / (s * s) for s in params.free_dim_stds],
+                          embeddings.dtype)
+
+    labels0 = jnp.full((p,), -1, jnp.int32)
+
+    class Carry(NamedTuple):
+        labels: jnp.ndarray
+        centers: jnp.ndarray
+        bws: jnp.ndarray
+        valid: jnp.ndarray
+        seed_probs: jnp.ndarray
+        distances: jnp.ndarray      # [K, P] — 1e8 where not computed
+        stopped: jnp.ndarray        # bool
+        avail_last: jnp.ndarray     # availability mask at start of last executed iter
+        n_unassigned_last: jnp.ndarray
+
+    init = Carry(
+        labels=labels0,
+        centers=jnp.zeros((k, e), embeddings.dtype),
+        bws=jnp.zeros((k, e), embeddings.dtype),
+        valid=jnp.zeros((k,), bool),
+        seed_probs=jnp.zeros((k,), embeddings.dtype),
+        distances=jnp.full((k, p), 1e8, embeddings.dtype),
+        stopped=jnp.asarray(False),
+        avail_last=fg_mask,
+        n_unassigned_last=jnp.sum(fg_mask.astype(jnp.int32)),
+    )
+
+    def body(i, c: Carry) -> Carry:
+        avail = (c.labels == -1) & fg_mask
+        n_avail = jnp.sum(avail.astype(jnp.int32))
+
+        seed_scores = jnp.where(avail, seediness, -jnp.inf)
+        seed_idx = jnp.argmax(seed_scores)
+        seed_prob = seediness[seed_idx]
+
+        active = (~c.stopped) & (n_avail > 0) & (seed_prob >= params.min_seediness_prob)
+        # the reference records the availability mask of every *executed*
+        # iteration (incl. the breaking one); the break happens before
+        # assignment, so track it whenever we had not stopped previously
+        executed = ~c.stopped
+        avail_last = jnp.where(executed, avail, c.avail_last)
+        n_unassigned_last = jnp.where(executed, n_avail, c.n_unassigned_last)
+
+        center = embeddings[seed_idx]
+        bw = bandwidths[seed_idx]
+        full_bw = jnp.concatenate([bw, free_bw]) if f else bw
+
+        d = jnp.sqrt(jnp.sum((embeddings - center) ** 2 * full_bw, axis=-1))
+        d_masked = jnp.where(avail & active, d, 1e8)
+        probs = jnp.exp(-0.5 * d)
+        match = (probs > params.primary_prob_thresh) & avail & active
+
+        return Carry(
+            labels=jnp.where(match, i, c.labels),
+            centers=c.centers.at[i].set(jnp.where(active, center, 0.0)),
+            bws=c.bws.at[i].set(jnp.where(active, full_bw, 0.0)),
+            valid=c.valid.at[i].set(active),
+            seed_probs=c.seed_probs.at[i].set(jnp.where(active, seed_prob, 0.0)),
+            distances=c.distances.at[i].set(d_masked),
+            stopped=~active,
+            avail_last=avail_last,
+            n_unassigned_last=n_unassigned_last,
+        )
+
+    c = jax.lax.fori_loop(0, k, body, init)
+
+    # secondary assignment (clusterers.py:148-159)
+    any_cluster = jnp.any(c.valid)
+    if params.secondary_assignment == "reference":
+        # reference quirk: argmax over distances (farthest cluster)
+        dist_for_pick = jnp.where(c.valid[:, None], c.distances, -jnp.inf)
+        picked = jnp.argmax(dist_for_pick, axis=0)  # [P]
+        picked_d = jnp.take_along_axis(c.distances, picked[None], axis=0)[0]
+        gate_mask = c.avail_last
+    else:
+        dist_for_pick = jnp.where(c.valid[:, None], c.distances, jnp.inf)
+        picked = jnp.argmin(dist_for_pick, axis=0)
+        picked_d = jnp.take_along_axis(c.distances, picked[None], axis=0)[0]
+        gate_mask = (c.labels == -1) & fg_mask
+
+    sec_probs = jnp.exp(-0.5 * picked_d)
+    do_secondary = any_cluster & (c.n_unassigned_last > 0)
+    update = (sec_probs > params.secondary_prob_thresh) & gate_mask & do_secondary
+    labels = jnp.where(update, picked.astype(jnp.int32), c.labels)
+
+    return ClusterResult(labels=labels, centers=c.centers, bandwidths=c.bws,
+                         valid=c.valid, seed_probs=c.seed_probs)
+
+
+def cluster_window(embeddings: jnp.ndarray, bandwidths: jnp.ndarray,
+                   seediness: jnp.ndarray, fg_mask: jnp.ndarray,
+                   params: ClusterParams, label_start: int = 1) -> ClusterResult:
+    """Cluster one window.
+
+    :param embeddings: [T, H, W, E] (grid offsets included)
+    :param bandwidths: [T, H, W, E - n_free] activated (exp·10) bandwidths
+    :param seediness: [T, H, W]
+    :param fg_mask: [T, H, W] bool
+    :param label_start: first label id to assign (labels are globally unique
+        across windows, reference ``clusterers.py:121``)
+    :return: ClusterResult with ``labels`` reshaped to [T, H, W]; assigned
+        labels are ``label_start + k`` for cluster slot k, -1 elsewhere.
+    """
+    shape = fg_mask.shape
+    e = embeddings.shape[-1]
+    res = _cluster(embeddings.reshape(-1, e),
+                   bandwidths.reshape(-1, bandwidths.shape[-1]),
+                   seediness.reshape(-1), fg_mask.reshape(-1), params)
+    labels = jnp.where(res.labels >= 0, res.labels + label_start, -1)
+    return res._replace(labels=labels.reshape(shape))
