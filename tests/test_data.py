@@ -1,0 +1,253 @@
+"""Data layer: parsers, loaders, augmentation, mixing, samplers, collate."""
+
+import json
+import os
+
+import cv2
+import numpy as np
+import pytest
+
+from stemseg_tpu.config import default_config
+from stemseg_tpu.utils import rle as rle_codec
+
+
+def _write_video_dataset(tmp_path, n_seqs=2, n_frames=12, h=40, w=56):
+    """Synthetic video dataset in the project-standard JSON format."""
+    rng = np.random.RandomState(0)
+    base_dir = str(tmp_path / "frames")
+    os.makedirs(base_dir, exist_ok=True)
+
+    sequences = []
+    for s in range(n_seqs):
+        image_paths = []
+        segmentations = []
+        for t in range(n_frames):
+            img = rng.randint(0, 255, (h, w, 3), np.uint8)
+            rel = f"seq{s}/{t:05d}.jpg"
+            os.makedirs(os.path.join(base_dir, f"seq{s}"), exist_ok=True)
+            cv2.imwrite(os.path.join(base_dir, rel), img)
+            image_paths.append(rel)
+
+            seg_t = {}
+            for iid in (1, 2):
+                m = np.zeros((h, w), np.uint8)
+                y0 = 5 + 2 * iid + (t % 3)
+                m[y0:y0 + 10, 8 * iid:8 * iid + 12] = 1
+                enc = rle_codec.encode(m)
+                seg_t[str(iid)] = enc["counts"].decode("utf-8")
+            segmentations.append(seg_t)
+
+        sequences.append({
+            "id": f"seq{s}",
+            "height": h, "width": w,
+            "image_paths": image_paths,
+            "categories": {"1": 1, "2": 1},
+            "segmentations": segmentations,
+        })
+
+    ds = {"meta": {"category_labels": {"1": "object"}}, "sequences": sequences}
+    json_path = str(tmp_path / "dataset.json")
+    with open(json_path, "w") as fh:
+        json.dump(ds, fh)
+    return base_dir, json_path, (h, w)
+
+
+def _write_image_dataset(tmp_path, n_images=3, h=48, w=64):
+    rng = np.random.RandomState(1)
+    base_dir = str(tmp_path / "imgs")
+    os.makedirs(base_dir, exist_ok=True)
+    images = []
+    for i in range(n_images):
+        img = rng.randint(0, 255, (h, w, 3), np.uint8)
+        rel = f"{i:06d}.jpg"
+        cv2.imwrite(os.path.join(base_dir, rel), img)
+        m = np.zeros((h, w), np.uint8)
+        m[10:30, 10:40] = 1
+        enc = rle_codec.encode(m)
+        images.append({
+            "image_path": rel, "height": h, "width": w,
+            "categories": [1],  # coco person - kept for both davis/ytvis
+            "segmentations": [enc["counts"].decode("utf-8")],
+        })
+    ds = {"meta": {"category_labels": {"1": "person"}}, "images": images}
+    json_path = str(tmp_path / "images.json")
+    with open(json_path, "w") as fh:
+        json.dump(ds, fh)
+    return base_dir, json_path
+
+
+@pytest.fixture()
+def tiny_cfg():
+    from stemseg_tpu.config import load_config
+
+    return load_config({"input": {"num_frames": 4, "min_dim": 32, "max_dim": 48}})
+
+
+def test_video_parser_roundtrip(tmp_path):
+    from stemseg_tpu.data import parse_generic_video_dataset
+
+    base_dir, json_path, (h, w) = _write_video_dataset(tmp_path)
+    seqs, meta = parse_generic_video_dataset(base_dir, json_path)
+    assert len(seqs) == 2
+    assert meta["category_labels"] == {1: "object"}
+    seq = seqs[0]
+    assert len(seq) == 12
+    masks = seq.load_masks([0, 3])
+    assert len(masks) == 2 and len(masks[0]) == 2
+    assert masks[0][0].shape == (h, w)
+    assert masks[0][0].sum() > 0
+
+    sub = seq.extract_subsequence([2, 4, 6])
+    assert len(sub) == 3
+    imgs = sub.load_images()
+    assert imgs[0].shape == (h, w, 3)
+
+
+def test_davis_loader_sample_contract(tmp_path, tiny_cfg):
+    import random
+
+    from stemseg_tpu.data import DavisDataLoader
+
+    random.seed(0)
+    base_dir, json_path, _ = _write_video_dataset(tmp_path)
+    ds = DavisDataLoader(base_dir, json_path, tiny_cfg.input,
+                         samples_to_create=4, frame_gap_lower=4,
+                         frame_gap_upper=4, apply_augmentation=True)
+    assert len(ds) == 4
+    sample = ds[0]
+    t = tiny_cfg.input.num_frames
+    assert sample["images"].shape[0] == t
+    assert sample["images"].dtype == np.float32
+    n, t2, h, w = sample["masks"].shape
+    assert (t2, h, w) == (t,) + sample["images"].shape[1:3]
+    assert sample["ignore_masks"].shape == (t, h, w)
+    assert sample["category_ids"].tolist() == [1] * n
+    # background-as-ignore: ignore mask = complement of union of instances
+    union = sample["masks"].max(axis=0)
+    overlap = (sample["ignore_masks"] > 0) & (union > 0)
+    assert overlap.mean() < 0.05  # augment warping may cause slight overlap
+    # min_dim resize policy applied
+    assert min(h, w) == 32 or max(h, w) == 48
+
+
+def test_coco_clip_loader(tmp_path, tiny_cfg):
+    import random
+
+    from stemseg_tpu.data import CocoDataLoader
+
+    random.seed(0)
+    base_dir, json_path = _write_image_dataset(tmp_path)
+    ds = CocoDataLoader(base_dir, json_path, tiny_cfg.input, category_agnostic=True)
+    assert len(ds) == 3
+    s = ds[0]
+    t = tiny_cfg.input.num_frames
+    assert s["images"].shape[0] == t
+    assert s["masks"].shape[:2] == (1, t)
+    assert s["category_ids"].tolist() == [1]
+    # frames must differ (augmented) but all contain the instance
+    assert s["masks"][0].sum(axis=(1, 2)).min() > 0
+    assert not np.array_equal(s["images"][0], s["images"][1])
+
+
+def test_augmenter_invalid_mask_consistency():
+    from stemseg_tpu.data import ImageToSeqAugmenter
+
+    rng = np.random.RandomState(2)
+    image = rng.randint(0, 255, (40, 60, 3), np.uint8)
+    mask = np.zeros((40, 60), np.uint8)
+    mask[10:30, 20:50] = 1
+    aug = ImageToSeqAugmenter(perspective=True, affine=True, motion_blur=False)
+    for _ in range(5):
+        aug_im, aug_masks, invalid = aug(image, [mask])
+        assert aug_im.shape == image.shape
+        assert aug_masks[0].shape == mask.shape
+        # mask pixels never land on invalid (out-of-frame) territory
+        assert not (aug_masks[0].astype(bool) & invalid).any()
+
+
+def test_concat_dataset_quotas():
+    from stemseg_tpu.data import ConcatDataset
+
+    class Fake:
+        def __init__(self, n, tag):
+            self.n, self.tag = n, tag
+
+        def __len__(self):
+            return self.n
+
+        def __getitem__(self, i):
+            return (self.tag, i)
+
+    ds = ConcatDataset([Fake(10, "a"), Fake(100, "b")], total_samples=40,
+                       weights=[0.25, 0.75])
+    assert len(ds) == 40
+    assert ds.samples_per_dataset == [10, 30]
+    tags = [ds[i][0] for i in range(len(ds))]
+    assert tags.count("a") == 10 and tags.count("b") == 30
+
+
+def test_sharded_sampler_determinism_and_coverage():
+    from stemseg_tpu.data import BatchSampler, IterationBasedBatchSampler, ShardedSampler
+
+    n = 37
+    shards = [list(ShardedSampler(n, num_replicas=4, rank=r)) for r in range(4)]
+    assert all(len(s) == 10 for s in shards)
+    covered = set(sum(shards, []))
+    assert covered == set(range(n))  # padded cover
+
+    s1 = list(ShardedSampler(n, 4, 0))
+    s2 = list(ShardedSampler(n, 4, 0))
+    assert s1 == s2  # same epoch -> same order
+
+    sampler = ShardedSampler(n, 1, 0)
+    ibs = IterationBasedBatchSampler(BatchSampler(sampler, 4), num_iterations=12,
+                                     start_iter=5)
+    batches = list(ibs)
+    assert len(batches) == 7  # resumes at iteration 5
+    assert all(len(b) == 4 for b in batches)
+
+
+def test_collate_fixed_shapes(tmp_path, tiny_cfg):
+    import random
+
+    from stemseg_tpu.data import DavisDataLoader, collate_fn
+
+    random.seed(0)
+    base_dir, json_path, _ = _write_video_dataset(tmp_path)
+    ds = DavisDataLoader(base_dir, json_path, tiny_cfg.input,
+                         samples_to_create=2, frame_gap_lower=4, frame_gap_upper=4)
+    batch = collate_fn([ds[0], ds[1]], max_instances=4)
+    n, t, h, w, c = batch["images"].shape
+    assert (n, c) == (2, 3)
+    assert h % 32 == 0 and w % 32 == 0
+    assert batch["masks"].shape == (2, 4, t, h, w)
+    assert batch["ignore_masks"].shape == (2, t, h, w)
+    assert batch["category_ids"].shape == (2, 4)
+    # padding instances have zero masks and category 0
+    assert batch["masks"][:, 2:].sum() == 0
+    assert (batch["category_ids"][:, 2:] == 0).all()
+
+
+def test_instance_duplicator():
+    from stemseg_tpu.data import InstanceDuplicator
+
+    rng = np.random.RandomState(3)
+    images = [rng.randint(0, 255, (60, 90, 3), np.uint8) for _ in range(3)]
+    masks = []
+    for t in range(3):
+        m = np.zeros((60, 90), np.uint8)
+        m[20:35, 30 + t:45 + t] = 1
+        masks.append(m)
+
+    dup = InstanceDuplicator()
+    np.random.seed(0)
+    import random
+
+    random.seed(0)
+    new_images, new_masks = dup(images, masks)
+    assert new_images is not None
+    orig_masks, dup_masks = new_masks
+    assert len(orig_masks) == len(dup_masks) == 3
+    for om, dm in zip(orig_masks, dup_masks):
+        assert dm.sum() > 0
+        assert not (om.astype(bool) & dm.astype(bool)).any()  # occlusion applied
