@@ -37,6 +37,7 @@ from functools import partial
 from typing import NamedTuple, Tuple
 
 import jax
+import numpy as np
 import jax.numpy as jnp
 
 
@@ -155,7 +156,8 @@ def _cluster(embeddings, bandwidths, seediness, fg_mask, params: ClusterParams):
 
 def cluster_window(embeddings: jnp.ndarray, bandwidths: jnp.ndarray,
                    seediness: jnp.ndarray, fg_mask: jnp.ndarray,
-                   params: ClusterParams, label_start: int = 1) -> ClusterResult:
+                   params: ClusterParams, label_start: int = 1,
+                   backend: str = "auto") -> ClusterResult:
     """Cluster one window.
 
     :param embeddings: [T, H, W, E] (grid offsets included)
@@ -164,13 +166,65 @@ def cluster_window(embeddings: jnp.ndarray, bandwidths: jnp.ndarray,
     :param fg_mask: [T, H, W] bool
     :param label_start: first label id to assign (labels are globally unique
         across windows, reference ``clusterers.py:121``)
+    :param backend: 'auto' (fused Pallas kernel on TPU when the point set
+        fits VMEM, else XLA), 'pallas', or 'xla'
     :return: ClusterResult with ``labels`` reshaped to [T, H, W]; assigned
         labels are ``label_start + k`` for cluster slot k, -1 elsewhere.
     """
+    p = int(np.prod(fg_mask.shape))
+    if backend == "auto":
+        from stemseg_tpu.ops import pallas_clustering_supported
+
+        backend = "pallas" if pallas_clustering_supported(
+            p, params.max_instances) else "xla"
+
+    return _cluster_window_jit(embeddings, bandwidths, seediness, fg_mask,
+                               jnp.asarray(label_start, jnp.int32), params,
+                               backend)
+
+
+@partial(jax.jit, static_argnums=(5, 6))
+def _cluster_window_jit(embeddings, bandwidths, seediness, fg_mask,
+                        label_start, params: ClusterParams, backend: str
+                        ) -> ClusterResult:
+    """One compiled graph per (shape, params, backend): input flattening,
+    free-dim bandwidth append, the clustering itself (fused Pallas kernel or
+    XLA fori_loop) and the label relabeling all fuse — no eager per-op
+    dispatches (each costs ~ms of host->device latency)."""
     shape = fg_mask.shape
     e = embeddings.shape[-1]
-    res = _cluster(embeddings.reshape(-1, e),
-                   bandwidths.reshape(-1, bandwidths.shape[-1]),
-                   seediness.reshape(-1), fg_mask.reshape(-1), params)
+    flat_emb = embeddings.reshape(-1, e)
+    flat_bw = bandwidths.reshape(-1, bandwidths.shape[-1])
+    flat_seed = seediness.reshape(-1)
+    flat_fg = fg_mask.reshape(-1)
+    p = flat_emb.shape[0]
+
+    if backend == "pallas":
+        from stemseg_tpu.ops import cluster_points_pallas
+
+        f = len(params.free_dim_stds)
+        if f:
+            free_bw = jnp.asarray([1.0 / (s * s) for s in params.free_dim_stds],
+                                  flat_bw.dtype)
+            flat_bw = jnp.concatenate(
+                [flat_bw, jnp.broadcast_to(free_bw, (p, f))], axis=-1)
+        labels_flat, meta = cluster_points_pallas(
+            flat_emb, flat_bw, flat_seed, flat_fg,
+            e_dims=e, max_instances=params.max_instances,
+            primary=params.primary_prob_thresh,
+            secondary=params.secondary_prob_thresh,
+            min_seediness=params.min_seediness_prob,
+            reference_secondary=params.secondary_assignment == "reference")
+        k = params.max_instances
+        res = ClusterResult(
+            labels=labels_flat,
+            centers=meta[:k, :e],
+            bandwidths=meta[:k, e:2 * e],
+            valid=meta[:k, -1] > 0.5,
+            seed_probs=meta[:k, -2],
+        )
+    else:
+        res = _cluster(flat_emb, flat_bw, flat_seed, flat_fg, params)
+
     labels = jnp.where(res.labels >= 0, res.labels + label_start, -1)
     return res._replace(labels=labels.reshape(shape))

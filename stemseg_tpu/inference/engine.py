@@ -40,8 +40,13 @@ from stemseg_tpu.models.resnet import STAGE_SPECS, ResNet
 
 
 class InferenceEngine:
-    def __init__(self, cfg: Config, variables: Dict, dtype=None):
+    def __init__(self, cfg: Config, variables: Dict, dtype=None,
+                 semseg_resize_scale: float = 1.0):
+        """:param semseg_resize_scale: per-window trilinear upscale of the
+        semseg logits before accumulation (the reference's ``resize_output``
+        path used with --resize_embeddings, ``inference_model.py:56-62``)."""
         self.cfg = cfg
+        self.semseg_resize_scale = semseg_resize_scale
         m = cfg.model
         self.params = variables["params"]
         self.constants = variables["constants"]
@@ -125,6 +130,11 @@ class InferenceEngine:
         if self.semseg_head is not None:
             semseg_logits = self.semseg_head.apply(
                 {"params": self.params["semseg_head"]}, coarsest_first)[0]
+            if self.semseg_resize_scale != 1.0:
+                from stemseg_tpu.models.layers import upsample_trilinear
+
+                s = self.semseg_resize_scale
+                semseg_logits = upsample_trilinear(semseg_logits[None], (1.0, s, s))[0]
 
         return embeddings, bandwidths, seediness, semseg_logits
 

@@ -1,0 +1,299 @@
+"""Inference CLI: ``python -m stemseg_tpu.inference.main CKPT -o DIR
+--dataset {davis,ytvis,kittimots}``.
+
+Behavioral reference: ``/root/reference/stemseg/inference/main.py``. Drives
+the full pipeline per sequence: frame loading (thread-pool prefetch) ->
+sliding-window engine (backbone + 3D heads on device) -> dense clustering +
+cross-window chaining -> dataset-specific output writer, and prints the same
+model / clustering / overall fps report (:105-123) with image I/O and output
+writing excluded via the Timer mechanism.
+
+Config resolution: ``config.yaml`` next to the checkpoint if present, else
+the dataset's default preset (davis_2 / youtube_vis / kitti_mots_2,
+reference :185-198); CLI overrides for input dims, seediness thresholds and
+frame overlap (:201-235).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+from typing import List, Optional
+
+import numpy as np
+
+from stemseg_tpu.utils.timer import Timer
+
+DATASET_PRESETS = {
+    "davis": "davis_2",
+    "ytvis": "youtube_vis",
+    "kittimots": "kitti_mots_2",
+}
+
+
+def load_inference_cfg(model_path: str, dataset: str, min_dim: Optional[int],
+                       max_dim: Optional[int], min_seediness_prob: Optional[float]):
+    from stemseg_tpu.config import load_config, load_preset, merge
+
+    cfg_file = os.path.join(os.path.dirname(model_path), "config.yaml")
+    if os.path.exists(cfg_file):
+        print(f"Loading config from {cfg_file}")
+        cfg = load_config(cfg_file)
+    else:
+        assert dataset in DATASET_PRESETS, \
+            "Invalid '--dataset'. Should be 'davis', 'ytvis' or 'kittimots'"
+        print(f"Loading default preset {DATASET_PRESETS[dataset]}")
+        cfg = load_preset(DATASET_PRESETS[dataset])
+
+    # input-dim overrides keep the aspect limit ratio (reference :201-226)
+    if min_dim or max_dim:
+        ratio = cfg.input.max_dim / cfg.input.min_dim
+        if min_dim and max_dim:
+            new_min, new_max = min_dim, max_dim
+        elif min_dim:
+            new_min, new_max = min_dim, int(round(min_dim * ratio))
+        else:
+            new_min, new_max = int(round(max_dim / ratio)), max_dim
+        cfg = merge(cfg, {"input": {"min_dim": new_min, "max_dim": new_max}})
+        print(f"Network input image dimension limits: {new_min}, {new_max}")
+
+    if min_seediness_prob:
+        cfg = merge(cfg, {"clustering": {"min_seediness_prob": min_seediness_prob}})
+    return cfg
+
+
+def load_model_variables(cfg, model_path: str):
+    """Build the model and load weights from a .ckpt (ours) or .pth
+    (reference torch checkpoint, auto-converted)."""
+    import jax
+    import jax.numpy as jnp
+
+    from stemseg_tpu.models import build_model
+
+    model = build_model(cfg, for_training=False)
+    t = cfg.input.num_frames
+    init_vars = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, t, 64, 96, 3), jnp.float32))
+
+    if model_path.endswith(".pth"):
+        from stemseg_tpu.models.converter import (
+            convert_state_dict,
+            load_torch_state_dict,
+            merge_variables,
+        )
+
+        return merge_variables(init_vars, convert_state_dict(
+            load_torch_state_dict(model_path)))
+
+    from flax import serialization
+
+    with open(model_path, "rb") as fh:
+        payload = serialization.msgpack_restore(fh.read())
+    state = payload["state"] if "state" in payload else payload
+    return {
+        "params": serialization.from_state_dict(init_vars["params"], state["params"]),
+        "constants": serialization.from_state_dict(init_vars["constants"], state["constants"]),
+    }
+
+
+class TrackGenerator:
+    """Per-sequence orchestration (reference ``inference/main.py:52-182``)."""
+
+    def __init__(self, cfg, dataset: str, variables, output_generator,
+                 max_tracks: int, seediness_thresh: float = 0.25,
+                 frame_overlap: int = -1, resize_embeddings: bool = False,
+                 cpu_workers: int = 4):
+        import jax.numpy as jnp
+
+        from stemseg_tpu.inference.clustering import ClusterParams, cluster_window
+        from stemseg_tpu.inference.engine import InferenceEngine
+        from stemseg_tpu.models.embedding_utils import get_nb_free_dims
+
+        self.cfg = cfg
+        self.dataset = dataset
+        self.output_generator = output_generator
+        self.max_tracks = max_tracks
+        self.seediness_thresh = seediness_thresh
+        self.cpu_workers = cpu_workers
+
+        overlaps = {
+            "davis": cfg.data.davis.inference_frame_overlap,
+            "ytvis": cfg.data.youtube_vis.inference_frame_overlap,
+            "kittimots": cfg.data.kitti_mots.inference_frame_overlap,
+        }
+        self.frame_overlap = frame_overlap if frame_overlap > 0 else overlaps[dataset]
+
+        self.cluster_full_scale = cfg.training.loss_at_full_res or resize_embeddings
+        self.mask_scale = 1 if self.cluster_full_scale else 4
+        self.upscaled_inputs = self.cluster_full_scale
+
+        self.semseg_output_type = {"kittimots": "argmax", "ytvis": "logits"}.get(
+            dataset, "probs")
+
+        self.engine = InferenceEngine(
+            cfg, variables,
+            semseg_resize_scale=4.0 if self.cluster_full_scale else 1.0)
+
+        ccfg = cfg.clustering
+        self.cluster_params = ClusterParams(
+            primary_prob_thresh=ccfg.primary_prob_threshold,
+            secondary_prob_thresh=ccfg.secondary_prob_threshold,
+            min_seediness_prob=ccfg.min_seediness_prob,
+            max_instances=ccfg.max_instances,
+            n_free_dims=get_nb_free_dims(cfg.model.embedding_dim_mode),
+            free_dim_stds=tuple(cfg.training.losses.embedding.free_dim_stds),
+            secondary_assignment=ccfg.secondary_assignment,
+        )
+
+        def cluster_fn(emb, bw, seed, fg_mask, label_start):
+            if self.cluster_full_scale:
+                from stemseg_tpu.models.layers import upsample_trilinear
+
+                emb = upsample_trilinear(emb[None], (1.0, 4.0, 4.0))[0]
+                bw = upsample_trilinear(bw[None], (1.0, 4.0, 4.0))[0]
+                seed = upsample_trilinear(seed[None, ..., None], (1.0, 4.0, 4.0))[0, ..., 0]
+            return cluster_window(emb, bw, seed, fg_mask, self.cluster_params,
+                                  label_start)
+
+        from stemseg_tpu.inference.chainer import OnlineChainer
+
+        self.chainer = OnlineChainer(cluster_fn)
+        self.total_frames_processed = 0
+
+    # ------------------------------------------------------------------
+
+    @Timer.exclude_duration("inference", "postprocessing")
+    def _load_frames(self, sequence):
+        from stemseg_tpu.data.inference_loader import load_sequence_frames
+
+        paths = [os.path.join(sequence.base_dir, p) for p in sequence.image_paths]
+        return load_sequence_frames(paths, self.cfg.input, self.cpu_workers)
+
+    @Timer.log_duration("inference")
+    def do_inference(self, frames):
+        from stemseg_tpu.inference.windows import get_subsequence_frames
+
+        windows, _ = get_subsequence_frames(
+            frames.shape[0], self.cfg.input.num_frames, self.frame_overlap)
+        return self.engine.infer_sequence(
+            frames, windows, seediness_fg_threshold=self.seediness_thresh,
+            semseg_output_type=self.semseg_output_type)
+
+    @Timer.log_duration("postprocessing")
+    def do_clustering(self, out):
+        fg_masks = np.asarray(out["fg_masks"])
+        return self.chainer.process(fg_masks, out["windows"])
+
+    def process_sequence(self, sequence, max_tracks: int):
+        frames, _ = self._load_frames(sequence)
+        out = self.do_inference(frames)
+        labels, counts, lifetimes, _ = self.do_clustering(out)
+
+        category_masks = out["multiclass_masks"]
+        if category_masks is not None:
+            category_masks = np.asarray(category_masks)
+
+        self.output_generator.process_sequence(
+            sequence, labels, counts, lifetimes, category_masks,
+            mask_scale=4, max_tracks=max_tracks,
+            min_dim=self.cfg.input.min_dim, max_dim=self.cfg.input.max_dim)
+
+        self.total_frames_processed += len(sequence)
+
+    def start(self, sequences, seqs_to_process: Optional[List[str]] = None):
+        for i, sequence in enumerate(sequences):
+            if seqs_to_process and str(sequence.id) not in seqs_to_process:
+                continue
+            print(f"Performing inference for sequence {i + 1}/{len(sequences)}")
+            self.process_sequence(sequence, self.max_tracks)
+
+        inf = max(Timer.get_duration("inference"), 1e-9)
+        post = max(Timer.get_duration("postprocessing"), 1e-9)
+        print("----------------------------------------------------")
+        print(f"Model inference speed: {self.total_frames_processed / inf:.3f} fps")
+        print(f"Clustering and postprocessing speed: "
+              f"{self.total_frames_processed / post:.3f} fps")
+        print(f"Overall speed: "
+              f"{self.total_frames_processed / max(Timer.get_durations_sum(), 1e-9):.3f} fps")
+        print("----------------------------------------------------")
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description="STEm-Seg TPU inference")
+    parser.add_argument("model_path")
+    parser.add_argument("--output_dir", "-o", required=False)
+    parser.add_argument("--seqs", nargs="*", required=False)
+    parser.add_argument("--dataset", "-d", required=True,
+                        choices=list(DATASET_PRESETS))
+    parser.add_argument("--max_tracks", type=int, required=False)
+    parser.add_argument("--frame_overlap", "-fo", type=int, default=-1)
+    parser.add_argument("--seediness_thresh", "-st", type=float, default=0.25)
+    parser.add_argument("--min_dim", type=int, required=False)
+    parser.add_argument("--max_dim", type=int, required=False)
+    parser.add_argument("--resize_embeddings", action="store_true")
+    parser.add_argument("--min_seediness_prob", "-msp", type=float, required=False)
+    parser.add_argument("--save_vis", action="store_true")
+    args = parser.parse_args(argv)
+
+    cfg = load_inference_cfg(args.model_path, args.dataset, args.min_dim,
+                             args.max_dim, args.min_seediness_prob)
+
+    output_dir = args.output_dir or os.path.join(
+        os.path.dirname(args.model_path), "inference")
+    if not os.path.isabs(output_dir):
+        output_dir = os.path.join(os.path.dirname(args.model_path), output_dir)
+    os.makedirs(output_dir, exist_ok=True)
+
+    from stemseg_tpu.data.parsers import parse_generic_video_dataset
+    from stemseg_tpu.data.paths import (
+        DavisUnsupervisedPaths,
+        KITTIMOTSPaths,
+        YoutubeVISPaths,
+    )
+    from stemseg_tpu.inference.output_utils import (
+        DavisOutputGenerator,
+        KittiMOTSOutputGenerator,
+        YoutubeVISOutputGenerator,
+    )
+
+    cluster_full_scale = cfg.training.loss_at_full_res or args.resize_embeddings
+
+    if args.dataset == "davis":
+        sequences, _ = parse_generic_video_dataset(
+            DavisUnsupervisedPaths.trainval_base_dir(),
+            DavisUnsupervisedPaths.val_vds_file())
+        output_generator = DavisOutputGenerator(
+            output_dir, save_visualization=args.save_vis,
+            upscaled_inputs=cluster_full_scale)
+        max_tracks = cfg.data.davis.max_inference_tracks
+    elif args.dataset == "ytvis":
+        sequences, meta_info = parse_generic_video_dataset(
+            YoutubeVISPaths.val_base_dir(), YoutubeVISPaths.val_vds_file())
+        output_generator = YoutubeVISOutputGenerator(
+            output_dir, category_names=meta_info["category_labels"],
+            save_visualization=args.save_vis, upscaled_inputs=cluster_full_scale)
+        max_tracks = cfg.data.youtube_vis.max_inference_tracks
+    else:
+        sequences, _ = parse_generic_video_dataset(
+            KITTIMOTSPaths.train_images_dir(), KITTIMOTSPaths.val_vds_file())
+        output_generator = KittiMOTSOutputGenerator(
+            output_dir, save_visualization=args.save_vis,
+            upscaled_inputs=cluster_full_scale)
+        max_tracks = cfg.data.kitti_mots.max_inference_tracks
+
+    max_tracks = args.max_tracks or max_tracks
+
+    variables = load_model_variables(cfg, args.model_path)
+    generator = TrackGenerator(
+        cfg, args.dataset, variables, output_generator, max_tracks,
+        seediness_thresh=args.seediness_thresh,
+        frame_overlap=args.frame_overlap,
+        resize_embeddings=args.resize_embeddings)
+
+    generator.start(sequences, args.seqs)
+    output_generator.save()
+    print(f"Results saved to {output_dir}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,5 @@
+from stemseg_tpu.ops.cluster_pallas import (  # noqa: F401
+    PALLAS_POINT_LIMIT,
+    cluster_points_pallas,
+    pallas_clustering_supported,
+)

@@ -6,6 +6,7 @@ import os
 import subprocess
 import sys
 
+import jax
 import numpy as np
 import pytest
 
@@ -176,3 +177,26 @@ def test_chainer_stitching():
     ids = np.unique(fg_labels)
     assert len(ids) == 1 and ids[0] == 1, f"expected single chained track, got {ids}"
     assert lifetimes[1] == t_total - 1
+
+
+@pytest.mark.skipif(jax.default_backend() != "tpu",
+                    reason="pallas kernel requires TPU hardware")
+def test_pallas_backend_matches_xla():
+    """On TPU hardware the fused Pallas kernel must be label-exact vs XLA."""
+    import jax.numpy as jnp
+
+    from stemseg_tpu.inference.clustering import ClusterParams, cluster_window
+
+    rng = np.random.RandomState(4)
+    emb, bw, seed = _synthetic_points(rng)
+    p = len(emb)
+    fg = rng.rand(p) > 0.3
+    for mode in ("reference", "nearest"):
+        params = ClusterParams(secondary_assignment=mode)
+        args = (jnp.asarray(emb.reshape(1, 1, p, 3)),
+                jnp.asarray(bw.reshape(1, 1, p, 3)),
+                jnp.asarray(seed.reshape(1, 1, p)),
+                jnp.asarray(fg.reshape(1, 1, p)))
+        r_x = cluster_window(*args, params, backend="xla")
+        r_p = cluster_window(*args, params, backend="pallas")
+        np.testing.assert_array_equal(np.asarray(r_x.labels), np.asarray(r_p.labels))

@@ -1,0 +1,93 @@
+"""End-to-end inference CLI: fake dataset + random tiny model -> DAVIS PNGs
+and the fps report, through the real ``stemseg_tpu.inference.main``."""
+
+import json
+import os
+
+import cv2
+import numpy as np
+import pytest
+
+from stemseg_tpu.utils import rle as rle_codec
+
+
+def _make_dataset(tmp_path, n_frames=6, h=48, w=64):
+    rng = np.random.RandomState(0)
+    base_dir = str(tmp_path / "davis")
+    os.makedirs(os.path.join(base_dir, "seqA"), exist_ok=True)
+    image_paths, segmentations = [], []
+    for t in range(n_frames):
+        img = rng.randint(0, 255, (h, w, 3), np.uint8)
+        rel = f"seqA/{t:05d}.jpg"
+        cv2.imwrite(os.path.join(base_dir, rel), img)
+        image_paths.append(rel)
+        m = np.zeros((h, w), np.uint8)
+        m[10:30, 10 + t:30 + t] = 1
+        segmentations.append({"1": rle_codec.encode(m)["counts"].decode("utf-8")})
+
+    ds = {"meta": {"category_labels": {"1": "object"}},
+          "sequences": [{"id": "seqA", "height": h, "width": w,
+                         "image_paths": image_paths,
+                         "categories": {"1": 1},
+                         "segmentations": segmentations}]}
+    ann_dir = str(tmp_path / "ann")
+    os.makedirs(ann_dir, exist_ok=True)
+    with open(os.path.join(ann_dir, "davis_val.json"), "w") as fh:
+        json.dump(ds, fh)
+    return base_dir, ann_dir
+
+
+def _make_checkpoint(tmp_path):
+    """Tiny random model + config.yaml + .ckpt in one model dir."""
+    import jax
+    import jax.numpy as jnp
+
+    from stemseg_tpu.config import load_config, save_config
+    from stemseg_tpu.models import build_model
+    from stemseg_tpu.training import create_train_state
+    from stemseg_tpu.training.checkpoint import save_checkpoint
+
+    cfg = load_config({
+        "input": {"num_frames": 4, "num_classes": 2, "min_dim": 32, "max_dim": 48},
+        "model": {"backbone": {"type": "R-50-FPN"}},
+        "training": {"lr_decay_type": "none"},
+        "clustering": {"min_seediness_prob": 0.0},  # random weights: force clusters
+    })
+    model_dir = str(tmp_path / "model")
+    os.makedirs(model_dir, exist_ok=True)
+    save_config(cfg, os.path.join(model_dir, "config.yaml"))
+
+    model = build_model(cfg, for_training=False)
+    state, _ = create_train_state(model, cfg, jax.random.PRNGKey(0),
+                                  jnp.zeros((1, 4, 32, 32, 3)))
+    path = save_checkpoint(model_dir, 7, state)
+    return path
+
+
+def test_inference_cli_davis(tmp_path, monkeypatch):
+    from stemseg_tpu.inference import main as inference_main
+    from stemseg_tpu.utils.timer import Timer
+
+    Timer.reset()
+    base_dir, ann_dir = _make_dataset(tmp_path)
+    ckpt = _make_checkpoint(tmp_path)
+
+    monkeypatch.setenv("DAVIS_BASE_DIR", base_dir)
+    monkeypatch.setenv("STEMSEG_JSON_ANNOTATIONS_DIR", ann_dir)
+
+    out_dir = str(tmp_path / "out")
+    inference_main.main([ckpt, "-o", out_dir, "--dataset", "davis",
+                         "--max_tracks", "5", "--frame_overlap", "2"])
+
+    result_dir = os.path.join(out_dir, "results", "seqA")
+    files = sorted(os.listdir(result_dir))
+    assert files == [f"{t:05d}.png" for t in range(6)]
+
+    from PIL import Image
+
+    img = Image.open(os.path.join(result_dir, "00000.png"))
+    assert img.mode == "P"
+    assert np.array(img).shape == (48, 64)
+
+    assert Timer.get_duration("inference") > 0
+    assert Timer.get_duration("postprocessing") > 0
