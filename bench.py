@@ -1,22 +1,87 @@
-"""Benchmark: 480p 8-frame clips/sec/chip on the flagship model forward.
+"""Benchmark: 480p 8-frame clips/sec/chip, plus end-to-end pipeline fps.
 
-Mirrors the reference's self-measured "model fps" report
+Mirrors the reference's self-measured fps report
 (``/root/reference/stemseg/inference/main.py:119-123``, Timer-based, image
-I/O excluded): we time only the jitted device forward (ResNet-101-FPN +
-embedding + semseg 3D heads) on a fixed 480p bucket ([1, 8, 480, 864, 3]),
-steady-state, and convert to clips/sec (1 clip = one 8-frame window) and
-frames/sec.
+I/O excluded):
+
+* ``clips/s`` — the jitted flagship forward (ResNet-101-FPN + embedding +
+  semseg 3D heads) on a fixed 480p bucket [1, 8, 480, 864, 3];
+* ``e2e_fps`` — the full streaming pipeline on a synthetic 64-frame 480p
+  sequence: sliding-window engine (overlap 6) + fused clustering + track
+  chaining, i.e. the reference's "overall fps" with output writing excluded.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 ``vs_baseline`` is vs the reference's V100 fps — unpublished (BASELINE.md),
-so we report against the conservative estimate recorded there once measured;
-until a reference measurement exists it is null.
+so null until a reference measurement exists.
 """
 
 import json
 import time
 
 import numpy as np
+
+
+def sync(x):
+    # NOTE: block_until_ready does not actually synchronize through the
+    # axon tunnel — force execution by fetching a tiny slice.
+    np.asarray(x)
+
+
+def bench_forward(cfg, variables, model):
+    import jax
+
+    n, t, h, w = 1, 8, 480, 864
+    rng = np.random.RandomState(0)
+    images = jax.device_put(rng.randn(n, t, h, w, 3).astype(np.float32) * 50)
+    fwd = jax.jit(model.apply)
+    out = fwd(variables, images)
+    sync(out["embeddings"][0, 0, 0, 0, :1])
+
+    iters = 10
+    start = time.perf_counter()
+    for _ in range(iters):
+        out = fwd(variables, images)
+    sync(out["embeddings"][0, 0, 0, 0, :1])
+    return iters * n / (time.perf_counter() - start)
+
+
+def bench_e2e(cfg, variables):
+    from stemseg_tpu.inference.chainer import OnlineChainer
+    from stemseg_tpu.inference.clustering import ClusterParams, cluster_window
+    from stemseg_tpu.inference.engine import InferenceEngine
+    from stemseg_tpu.inference.windows import get_subsequence_frames
+    from stemseg_tpu.models.embedding_utils import get_nb_free_dims
+
+    t_total, h, w = 64, 480, 864
+    rng = np.random.RandomState(0)
+    frames = (rng.randn(t_total, h, w, 3) * 50).astype(np.float32)
+    windows, _ = get_subsequence_frames(t_total, cfg.input.num_frames, 6)
+
+    engine = InferenceEngine(cfg, variables)
+    params = ClusterParams(
+        primary_prob_thresh=cfg.clustering.primary_prob_threshold,
+        secondary_prob_thresh=cfg.clustering.secondary_prob_threshold,
+        min_seediness_prob=cfg.clustering.min_seediness_prob,
+        max_instances=cfg.clustering.max_instances,
+        n_free_dims=get_nb_free_dims(cfg.model.embedding_dim_mode),
+        free_dim_stds=tuple(cfg.training.losses.embedding.free_dim_stds))
+
+    def cluster_fn(e, b, s, m, start):
+        return cluster_window(e, b, s, m, params, label_start=start)
+
+    chainer = OnlineChainer(cluster_fn)
+
+    def run():
+        out = engine.infer_sequence(frames, windows)
+        fg = np.asarray(out["fg_masks"])
+        labels, counts, lifetimes, _ = chainer.process(fg, out["windows"])
+        return labels
+
+    run()  # warmup / compile
+    start = time.perf_counter()
+    labels = run()
+    elapsed = time.perf_counter() - start
+    return t_total / elapsed
 
 
 def main():
@@ -26,41 +91,21 @@ def main():
     from stemseg_tpu.models import build_model
 
     cfg = default_config()
-    model = build_model(cfg, for_training=False, dtype=None)
-
-    n, t, h, w = 1, 8, 480, 864
-    rng = np.random.RandomState(0)
-    images = jax.device_put(rng.randn(n, t, h, w, 3).astype(np.float32) * 50)
-
+    model = build_model(cfg, for_training=False)
     variables = model.init(jax.random.PRNGKey(0),
-                           np.zeros((1, t, 64, 96, 3), np.float32))
+                           np.zeros((1, cfg.input.num_frames, 64, 96, 3), np.float32))
     variables = jax.device_put(variables)
 
-    fwd = jax.jit(model.apply)
+    clips_per_sec = bench_forward(cfg, variables, model)
+    e2e_fps = bench_e2e(cfg, variables)
 
-    def sync(o):
-        # NOTE: block_until_ready does not actually synchronize through the
-        # axon tunnel — force execution by fetching a tiny output slice.
-        np.asarray(o["embeddings"][0, 0, 0, 0, :1])
-
-    # warmup / compile
-    out = fwd(variables, images)
-    sync(out)
-
-    iters = 10
-    start = time.perf_counter()
-    for _ in range(iters):
-        out = fwd(variables, images)
-    sync(out)  # device executes in order: last-done ≈ all-done
-    elapsed = time.perf_counter() - start
-
-    clips_per_sec = iters * n / elapsed
     print(json.dumps({
         "metric": "480p_8frame_clips_per_sec_per_chip",
         "value": round(clips_per_sec, 4),
         "unit": "clips/s",
         "vs_baseline": None,
-        "frames_per_sec": round(clips_per_sec * t, 2),
+        "forward_frames_per_sec": round(clips_per_sec * 8, 2),
+        "e2e_pipeline_fps": round(e2e_fps, 2),
     }))
 
 

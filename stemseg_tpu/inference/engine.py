@@ -10,23 +10,28 @@ plumbing). TPU-native redesign:
 * FPN features stay in HBM in a frame-keyed cache with the same
   window-dependency refcounting as the reference (:83-98, :164-173) — no
   recompute, no D2H;
-* the heads run as one jitted graph per window; the embedding output is
-  split (emb | bw·exp·10 | seed) on device (:140-148) and KEPT ON DEVICE for
-  the clustering stage — the reference round-trips every window through
-  ``.cpu()``;
-* overlapping-window semseg logits are accumulated per frame on device and
-  averaged at the end (:121-128, :196-231);
+* the heads run as one jitted graph per window, with the per-frame feature
+  stacking INSIDE the jit (a window is a single device dispatch — host->
+  device dispatch latency, not compute, dominates small ops); the embedding
+  output is split (emb | bw·exp·10 | seed) on device (:140-148) and KEPT ON
+  DEVICE for the clustering stage — the reference round-trips every window
+  through ``.cpu()``;
+* overlapping-window semseg/seediness averaging (:121-128, :196-231) is
+  DEFERRED: per-window logits stay untouched in HBM and one jitted finalize
+  graph (static window schedule unrolled) computes the per-frame means and
+  fg masks for the whole sequence at the end — zero accumulation dispatches
+  in the steady state;
 * duplicate frame indices inside a window (short-sequence front padding) are
   deduplicated exactly like the reference's dict-keyed stacking (:93-98,
-  :139-148): heads run on the full window, outputs keep the LAST occurrence
-  of each frame id, sorted by frame id.
+  :139-148): outputs keep the LAST occurrence of each frame id, sorted.
 
 All shapes are static per (H, W) bucket: one backbone compile per bucket, one
-heads compile per (T_unique, h, w).
+heads compile per (T, h, w), one finalize compile per (schedule, T_total).
 """
 
 from __future__ import annotations
 
+import functools
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import jax
@@ -107,9 +112,12 @@ class InferenceEngine:
             frames)
         return self.fpn.apply({"params": self.params["fpn"]}, feats)
 
-    def _heads_forward(self, feats: Tuple[jnp.ndarray, ...]):
-        """feats: 4 stacked maps [T, h_s, w_s, C], finest first (with a
-        leading batch dim of 1 added here). Returns per-window outputs."""
+    def _heads_forward(self, per_frame_feats):
+        """per_frame_feats: tuple over 4 scales (finest first) of tuples of T
+        per-frame maps [h_s, w_s, C]. Stacking happens here, inside the jit —
+        one device dispatch per window."""
+        feats = tuple(jnp.stack(scale_frames, axis=0)
+                      for scale_frames in per_frame_feats)
         coarsest_first = [f[None] for f in feats[::-1]]
 
         emb_out = self.embedding_head.apply(
@@ -138,6 +146,44 @@ class InferenceEngine:
 
         return embeddings, bandwidths, seediness, semseg_logits
 
+    @functools.partial(jax.jit, static_argnums=(0, 2, 3, 4, 5))
+    def _finalize(self, window_maps, frame_lists: Tuple[Tuple[int, ...], ...],
+                  t_total: int, semseg_output_type: str,
+                  seediness_fg_threshold: float):
+        """Average overlapping-window maps per frame and derive fg /
+        multiclass masks — ONE compiled graph per window schedule.
+
+        :param window_maps: list over windows of [T_w, h, w, (C)] maps
+            (semseg logits, or seediness when there is no semseg head)
+        """
+        sample = window_maps[0]
+        acc = jnp.zeros((t_total,) + sample.shape[1:], jnp.float32)
+        cnt = jnp.zeros((t_total,), jnp.float32)
+        for wmap, frames in zip(window_maps, frame_lists):
+            idx = jnp.asarray(frames)
+            acc = acc.at[idx].add(wmap.astype(jnp.float32))
+            cnt = cnt.at[idx].add(1.0)
+        mean = acc / cnt.reshape((t_total,) + (1,) * (acc.ndim - 1))
+
+        if self.semseg_head is None:
+            # fg from window-averaged seediness (inference/main.py:95-103)
+            return mean > seediness_fg_threshold, None
+
+        n_ch = mean.shape[-1]
+        multiclass = None
+        if n_ch > 2:
+            mc_logits, fg_logits = mean[..., :-1], mean[..., -1]
+            if semseg_output_type == "logits":
+                multiclass = mc_logits
+            elif semseg_output_type == "probs":
+                multiclass = jax.nn.softmax(mc_logits, axis=-1)
+            elif semseg_output_type == "argmax":
+                multiclass = jnp.argmax(mc_logits, axis=-1)
+            fg_probs = jax.nn.sigmoid(fg_logits)
+        else:
+            fg_probs = jax.nn.softmax(mean, axis=-1)[..., 1]
+        return fg_probs > 0.5, multiclass
+
     # ------------------------------------------------------------------
     # streaming driver
     # ------------------------------------------------------------------
@@ -156,7 +202,7 @@ class InferenceEngine:
             ``fg_masks`` [T, h, w] bool (device),
             ``multiclass_masks`` (per semseg_output_type) or None,
             ``windows`` list of dicts (frames, embeddings, bandwidths,
-            seediness — all device arrays at 4x scale)
+            seediness — all device arrays at the embedding scale)
         """
         t_total = frames.shape[0]
         cache: Dict[int, Tuple[jnp.ndarray, ...]] = {}
@@ -167,11 +213,9 @@ class InferenceEngine:
             for t in win:
                 deps.setdefault(t, set()).add(wi)
 
-        semseg_sum: List = [None] * t_total
-        semseg_cnt = np.zeros(t_total, np.int32)
-        seed_sum: List = [None] * t_total
-        seed_cnt = np.zeros(t_total, np.int32)
         out_windows = []
+        accum_maps = []   # per window: semseg logits or seediness (device)
+        accum_frames = []
 
         for wi, win in enumerate(windows):
             new_frames = sorted({t for t in win if t not in cache})
@@ -181,9 +225,9 @@ class InferenceEngine:
                 for k, t in enumerate(new_frames):
                     cache[t] = tuple(f[k] for f in feats)
 
-            stacked = tuple(
-                jnp.stack([cache[t][s] for t in win], axis=0) for s in range(4))
-            embeddings, bandwidths, seediness, semseg_logits = self._heads_fn(stacked)
+            per_frame = tuple(tuple(cache[t][s] for t in win) for s in range(4))
+            embeddings, bandwidths, seediness, semseg_logits = \
+                self._heads_fn(per_frame)
 
             # dedupe to unique frames, keeping the LAST occurrence
             unique_frames = sorted(set(win))
@@ -196,14 +240,9 @@ class InferenceEngine:
                 if semseg_logits is not None:
                     semseg_logits = semseg_logits[sel]
 
-            for i, t in enumerate(unique_frames):
-                if semseg_logits is not None:
-                    semseg_sum[t] = semseg_logits[i] if semseg_sum[t] is None \
-                        else semseg_sum[t] + semseg_logits[i]
-                    semseg_cnt[t] += 1
-                seed_sum[t] = seediness[i] if seed_sum[t] is None \
-                    else seed_sum[t] + seediness[i]
-                seed_cnt[t] += 1
+            accum_maps.append(semseg_logits if self.semseg_head is not None
+                              else seediness)
+            accum_frames.append(tuple(unique_frames))
 
             out_windows.append({
                 "frames": unique_frames,
@@ -219,29 +258,9 @@ class InferenceEngine:
                     del cache[t]
                     del deps[t]
 
-        # ---- semseg averaging & fg masks (inference_model.py:196-231) ----
-        multiclass_masks = None
-        if self.semseg_head is not None:
-            logits = jnp.stack([semseg_sum[t] / float(semseg_cnt[t])
-                                for t in range(t_total)], axis=0)  # [T, h, w, C]
-            n_ch = logits.shape[-1]
-            if n_ch > 2:
-                mc_logits, fg_logits = logits[..., :-1], logits[..., -1]
-                if semseg_output_type == "logits":
-                    multiclass_masks = mc_logits
-                elif semseg_output_type == "probs":
-                    multiclass_masks = jax.nn.softmax(mc_logits, axis=-1)
-                elif semseg_output_type == "argmax":
-                    multiclass_masks = jnp.argmax(mc_logits, axis=-1)
-                fg_probs = jax.nn.sigmoid(fg_logits)
-            else:
-                fg_probs = jax.nn.softmax(logits, axis=-1)[..., 1]
-            fg_masks = fg_probs > 0.5
-        else:
-            # fg from window-averaged seediness (inference/main.py:95-103)
-            seed_avg = jnp.stack([seed_sum[t] / float(seed_cnt[t])
-                                  for t in range(t_total)], axis=0)
-            fg_masks = seed_avg > seediness_fg_threshold
+        fg_masks, multiclass_masks = self._finalize(
+            accum_maps, tuple(accum_frames), t_total, semseg_output_type,
+            seediness_fg_threshold)
 
         return {
             "fg_masks": fg_masks,

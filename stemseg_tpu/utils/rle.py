@@ -23,11 +23,38 @@ API mirrors ``pycocotools.mask``: ``encode`` / ``decode`` / ``area`` /
 
 from __future__ import annotations
 
-from typing import Dict, List, Sequence, Union
+import ctypes
+from typing import Dict, List, Optional, Sequence, Union
 
 import numpy as np
 
 RLE = Dict[str, object]
+
+_native_checked = False
+_native = None
+
+
+def _native_lib():
+    """The C++ codec (stemseg_tpu/native/rle.cpp), lazily built/loaded;
+    None -> pure-numpy fallback paths below."""
+    global _native, _native_checked
+    if not _native_checked:
+        _native_checked = True
+        try:
+            from stemseg_tpu.native import load_rle_lib
+
+            _native = load_rle_lib()
+        except Exception:
+            _native = None
+    return _native
+
+
+def _as_i64_ptr(arr: np.ndarray):
+    return arr.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
+
+
+def _as_u8_ptr(arr: np.ndarray):
+    return arr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
 
 
 # ---------------------------------------------------------------------------
@@ -36,6 +63,13 @@ RLE = Dict[str, object]
 
 
 def counts_to_string(counts: Sequence[int]) -> bytes:
+    lib = _native_lib()
+    if lib is not None and len(counts):
+        arr = np.ascontiguousarray(counts, np.int64)
+        buf = ctypes.create_string_buffer(len(arr) * 13 + 16)
+        n = lib.rle_counts_to_string(_as_i64_ptr(arr), len(arr), buf, len(buf))
+        if n >= 0:
+            return buf.raw[:n]
     s = bytearray()
     counts = [int(c) for c in counts]
     for i, x in enumerate(counts):
@@ -55,6 +89,12 @@ def counts_to_string(counts: Sequence[int]) -> bytes:
 def string_to_counts(s: Union[bytes, str]) -> List[int]:
     if isinstance(s, str):
         s = s.encode("ascii")
+    lib = _native_lib()
+    if lib is not None and len(s):
+        out = np.empty(len(s) + 2, np.int64)
+        n = lib.rle_string_to_counts(s, len(s), _as_i64_ptr(out), len(out))
+        if n >= 0:
+            return out[:n].tolist()
     counts: List[int] = []
     i = 0
     n = len(s)
@@ -83,6 +123,14 @@ def string_to_counts(s: Union[bytes, str]) -> List[int]:
 
 def _mask_to_counts(mask: np.ndarray) -> List[int]:
     """[H, W] {0,1} -> alternating run lengths, column-major, bg first."""
+    lib = _native_lib()
+    if lib is not None and mask.size:
+        m = np.ascontiguousarray(mask, np.uint8)
+        h, w = m.shape
+        out = np.empty(h * w + 2, np.int64)
+        n = lib.rle_encode(_as_u8_ptr(m), h, w, _as_i64_ptr(out), len(out))
+        if n >= 0:
+            return out[:n].tolist()
     flat = np.asarray(mask, np.uint8).flatten(order="F")
     if flat.size == 0:
         return [0]
@@ -95,6 +143,13 @@ def _mask_to_counts(mask: np.ndarray) -> List[int]:
 
 
 def _counts_to_mask(counts: Sequence[int], h: int, w: int) -> np.ndarray:
+    lib = _native_lib()
+    if lib is not None and h * w:
+        arr = np.ascontiguousarray(counts, np.int64)
+        mask = np.zeros((h, w), np.uint8)
+        if lib.rle_decode(_as_i64_ptr(arr), len(arr), h, w, _as_u8_ptr(mask)) == 0:
+            return mask
+        raise AssertionError(f"RLE does not cover {h * w} px")
     vals = np.zeros(len(counts), np.uint8)
     vals[1::2] = 1
     flat = np.repeat(vals, np.asarray(counts, np.int64))
