@@ -52,9 +52,10 @@ def bench_e2e(cfg, variables):
     from stemseg_tpu.inference.windows import get_subsequence_frames
     from stemseg_tpu.models.embedding_utils import get_nb_free_dims
 
-    t_total, h, w = 64, 480, 864
+    # RAW uint8 frames — resize/normalize run on device (the CLI fast path)
+    t_total, h0, w0 = 64, 480, 854
     rng = np.random.RandomState(0)
-    frames = (rng.randn(t_total, h, w, 3) * 50).astype(np.float32)
+    frames = (rng.rand(t_total, h0, w0, 3) * 255).astype(np.uint8)
     windows, _ = get_subsequence_frames(t_total, cfg.input.num_frames, 6)
 
     engine = InferenceEngine(cfg, variables)
@@ -72,16 +73,18 @@ def bench_e2e(cfg, variables):
     chainer = OnlineChainer(cluster_fn)
 
     def run():
-        out = engine.infer_sequence(frames, windows)
-        fg = np.asarray(out["fg_masks"])
-        labels, counts, lifetimes, _ = chainer.process(fg, out["windows"])
+        out = engine.infer_sequence(frames, windows, resize_hw=(480, 854))
+        labels, counts, lifetimes, _ = chainer.process(out["fg_masks"],
+                                                       out["windows"])
         return labels
 
     run()  # warmup / compile
-    start = time.perf_counter()
-    labels = run()
-    elapsed = time.perf_counter() - start
-    return t_total / elapsed
+    best = float("inf")
+    for _ in range(3):
+        start = time.perf_counter()
+        run()
+        best = min(best, time.perf_counter() - start)
+    return t_total / best
 
 
 def main():

@@ -2,33 +2,35 @@
 
 Behavioral reference: ``/root/reference/stemseg/inference/online_chainer.py``.
 TPU-native redesign: the reference keeps ragged per-frame label vectors over
-fg-pixel coordinate lists and computes the overlap IoU matrix with a Python
-double loop (:317-328). Here labels are DENSE ``[H, W]`` int32 maps (-1 =
-outlier/bg) that stay ON DEVICE end-to-end:
+fg-pixel coordinate lists, computes the overlap IoU matrix with a Python
+double loop (:317-328) and synchronizes with the device at every window.
+Here labels are DENSE ``[H, W]`` int32 maps (-1 = outlier/bg) that stay ON
+DEVICE, and the whole stitching pass is restructured into three phases so
+that NO device->host sync happens inside the per-window loop:
 
-* clustering emits dense label maps directly (``clustering.py``);
-* the IoU matrix between existing and new labels on the overlap frames is a
-  one-hot ``[K1, P] @ [P, K2]`` matmul on the MXU inside ONE jitted graph
-  (one device dispatch instead of K1·K2 Python iterations);
-* only the ≤max_instances² cost matrix and per-id presence vectors cross to
-  the host for the Hungarian assignment
-  (``scipy.optimize.linear_sum_assignment``, as in :330);
-* relabeling through the association mapping is a jitted lookup, and the
-  stitched per-frame labels accumulate as device arrays — one single
-  device->host transfer of the full [T, H, W] label volume at the end.
+1. DISPATCH: every window is clustered in its own disjoint raw id block
+   (``1 + i·K``), and the intersection-count matrices between each window's
+   clusters and the raw labels committed on its overlap frames are queued as
+   one-hot MXU matmuls — handles only, no fetches;
+2. ASSOCIATE (host): all matrices are fetched after the device queue is
+   full (fetch latency overlaps device compute), raw ids are folded to
+   global track ids (intersections are additive over the disjoint per-chunk
+   pixel sets, so chained identities aggregate exactly as the reference's
+   IoU over relabeled maps), and the Hungarian assignment runs per window —
+   every pair accepted regardless of IoU, like the reference (:330-343);
+3. RELABEL: each committed chunk gets one jitted id-rewrite, the volume is
+   stacked and crosses to the host ONCE.
 
-Semantics preserved: label spaces are globally unique across windows
-(``cluster_label_start`` threading, :186-198); association runs on the shared
-overlap frames only, between ids actually PRESENT there; every Hungarian
-pair is accepted regardless of IoU — including zero-overlap pairs — exactly
-like the reference (:330-343); non-overlap frames of the new window are
-relabeled through the mapping and appended (:219-229); overlap frames keep
-their existing labels.
+Known deviation: the reference numbers new tracks ``highest_committed + 1``
+(:45-50); disjoint per-window blocks give different (still globally unique)
+id VALUES. Ids are arbitrary handles everywhere downstream except the
+KITTI-MOTS overlap tie-break, which uses the per-pixel max of original ids
+(``output_utils/kitti_mots.py:155-162``) and may therefore break ties
+differently than the reference in the rare multi-track-overlap case.
 """
 
 from __future__ import annotations
 
-import functools
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import jax
@@ -37,71 +39,6 @@ import numpy as np
 from scipy.optimize import linear_sum_assignment
 
 OUTLIER_LABEL = -1
-
-
-class TrackContainer:
-    """Final stitched labels per frame, as dense [H, W] int32 device maps.
-    Frames are committed in window-sized [n, H, W] chunks to avoid per-frame
-    device ops. Reference: ``online_chainer.py:25-117``."""
-
-    def __init__(self, num_frames: int):
-        self._num_frames = num_frames
-        # frame -> (chunk_array, row_index)
-        self._where: List[Optional[Tuple[jnp.ndarray, int]]] = [None] * num_frames
-        # frame -> host-known superset of ids in that frame (avoids device
-        # syncs when building association candidate lists)
-        self._frame_ids: List[Optional[set]] = [None] * num_frames
-        self._highest_instance_id = 0
-
-    def add_label_chunk(self, frame_nums: Sequence[int], labels: jnp.ndarray,
-                        highest_id: int, id_set: set) -> int:
-        """:param labels: [len(frame_nums), H, W] int32 device array
-        :param highest_id: max id assigned so far (host-tracked; the
-            reference derives it from committed ``labels.max()`` — ours can
-            run ahead of it when a window's highest cluster id gets matched
-            away, so our id NUMBERING may skip values the reference would
-            reuse; ids stay globally unique either way)
-        :param id_set: host-known superset of ids present in this chunk"""
-        assert labels.shape[0] == len(frame_nums)
-        for i, t in enumerate(frame_nums):
-            assert self._where[t] is None, f"frame {t} already labeled"
-            self._where[t] = (labels, i)
-            self._frame_ids[t] = set(id_set)
-        self._highest_instance_id = max(self._highest_instance_id, highest_id)
-        return self._highest_instance_id + 1
-
-    def candidate_ids(self, frame_nums: Sequence[int]) -> List[int]:
-        out = set()
-        for t in frame_nums:
-            out |= self._frame_ids[t] or set()
-        return sorted(out)
-
-    def labels_exist(self, frame_num: int) -> bool:
-        return self._where[frame_num] is not None
-
-    def get_labels_stacked(self, frame_nums: Sequence[int]) -> jnp.ndarray:
-        """[len(frame_nums), H, W] device stack (one dispatch)."""
-        assert all(self.labels_exist(t) for t in frame_nums)
-        return jnp.stack([self._where[t][0][self._where[t][1]]
-                          for t in frame_nums])
-
-    def get_track_labels(self) -> Tuple[np.ndarray, Dict[int, int], Dict[int, int]]:
-        """:return: (labels [T, H, W] int32 HOST array, per-track pixel
-        counts, per-track lifetimes last-first) — reference ``:94-117`` (the
-        dicts include the outlier id, as there). One device->host transfer."""
-        stacked = self.get_labels_stacked(list(range(self._num_frames)))
-        labels = np.asarray(stacked)
-        counts: Dict[int, int] = {}
-        first: Dict[int, int] = {}
-        last: Dict[int, int] = {}
-        for t in range(labels.shape[0]):
-            ids, cnt = np.unique(labels[t], return_counts=True)
-            for i, c in zip(ids.tolist(), cnt.tolist()):
-                counts[i] = counts.get(i, 0) + c
-                first.setdefault(i, t)
-                last[i] = t
-        lifetimes = {i: last[i] - first[i] for i in counts}
-        return labels, counts, lifetimes
 
 
 def _pad_ids(ids: Sequence[int], multiple: int = 8) -> List[int]:
@@ -113,26 +50,21 @@ def _pad_ids(ids: Sequence[int], multiple: int = 8) -> List[int]:
 
 
 @jax.jit
-def _iou_and_presence(existing: jnp.ndarray, new: jnp.ndarray,
-                      cand1: jnp.ndarray, cand2: jnp.ndarray):
-    """IoU matrix + presence masks between candidate id sets on the overlap
-    frames — one dispatch, intersection on the MXU."""
+def _intersection_counts(existing: jnp.ndarray, new: jnp.ndarray,
+                         cand1: jnp.ndarray, cand2: jnp.ndarray):
+    """Pixel intersection matrix + per-id pixel counts between candidate id
+    sets on the overlap frames — one dispatch, intersection on the MXU."""
     a = existing.reshape(-1)
     b = new.reshape(-1)
     onehot1 = (a[None, :] == cand1[:, None]).astype(jnp.float32)  # [C1, P]
     onehot2 = (b[None, :] == cand2[:, None]).astype(jnp.float32)  # [C2, P]
     inter = onehot1 @ onehot2.T
-    n1 = jnp.sum(onehot1, axis=1)
-    n2 = jnp.sum(onehot2, axis=1)
-    union = n1[:, None] + n2[None, :] - inter
-    iou = jnp.where(union > 0, inter / jnp.maximum(union, 1.0), 0.0)
-    return iou, n1 > 0, n2 > 0
+    return inter, jnp.sum(onehot1, axis=1), jnp.sum(onehot2, axis=1)
 
 
 @jax.jit
 def _relabel(labels: jnp.ndarray, src_ids: jnp.ndarray, dst_ids: jnp.ndarray):
-    """Rewrite ids: labels == src_ids[k] -> dst_ids[k] (identity rows where
-    src == dst). One dispatch."""
+    """Rewrite ids: labels == src_ids[k] -> dst_ids[k]. One dispatch."""
     out = labels
     eq = labels[None] == src_ids[:, None, None, None]  # [K, n, H, W]
     for k in range(src_ids.shape[0]):
@@ -142,16 +74,20 @@ def _relabel(labels: jnp.ndarray, src_ids: jnp.ndarray, dst_ids: jnp.ndarray):
 
 def associate_labels(existing: np.ndarray, new: np.ndarray
                      ) -> List[Tuple[int, int]]:
-    """Host-side reference-shaped association (used by tests and small-scale
-    callers): Hungarian over 1 - IoU between present ids."""
+    """Host-side reference-shaped association (tests / small-scale callers):
+    Hungarian over 1 - IoU between present ids."""
     ids1 = np.setdiff1d(np.unique(existing), [OUTLIER_LABEL])
     ids2 = np.setdiff1d(np.unique(new), [OUTLIER_LABEL])
     if len(ids1) == 0 or len(ids2) == 0:
         return []
     assert not set(ids1.tolist()) & set(ids2.tolist()), "label spaces overlap"
-    iou, p1, p2 = _iou_and_presence(jnp.asarray(existing), jnp.asarray(new),
-                                    jnp.asarray(ids1), jnp.asarray(ids2))
-    rows, cols = linear_sum_assignment(1.0 - np.asarray(iou))
+    inter, n1, n2 = _intersection_counts(
+        jnp.asarray(existing), jnp.asarray(new),
+        jnp.asarray(ids1), jnp.asarray(ids2))
+    inter = np.asarray(inter)
+    union = np.asarray(n1)[:, None] + np.asarray(n2)[None, :] - inter
+    iou = np.where(union > 0, inter / np.maximum(union, 1.0), 0.0)
+    rows, cols = linear_sum_assignment(1.0 - iou)
     return [(int(ids1[r]), int(ids2[c])) for r, c in zip(rows, cols)]
 
 
@@ -169,15 +105,13 @@ class OnlineChainer:
 
     ``cluster_fn(embeddings, bandwidths, seediness, fg_mask, label_start)``
     must return a ClusterResult whose ``labels`` is a dense [Tw, H, W] int32
-    device map with globally-unique ids (see ``clustering.cluster_window``).
-
-    Per window this costs ~5 device dispatches plus two small host syncs
-    (the cluster validity vector and the ≤K² cost matrix); pixel data never
-    leaves the device until the final label volume transfer.
+    device map with ids in ``[label_start, label_start + max_instances)``
+    (see ``clustering.cluster_window``).
     """
 
-    def __init__(self, cluster_fn):
+    def __init__(self, cluster_fn, max_instances: int = 20):
         self.cluster_fn = cluster_fn
+        self.max_instances = max_instances
 
     def process(self, fg_masks, windows: List[dict]):
         """:param fg_masks: [T, H, W] bool — full-sequence foreground
@@ -186,74 +120,138 @@ class OnlineChainer:
             frame ids), ``embeddings`` [Tw,H,W,E], ``bandwidths`` [Tw,H,W,V],
             ``seediness`` [Tw,H,W] (device arrays)
         :return: (labels [T,H,W] int32 host array, counts dict,
-                  lifetimes dict, per-window meta list)
+                  lifetimes dict, per-window ClusterResult list)
         """
         fg_masks = jnp.asarray(fg_masks)
         num_frames = fg_masks.shape[0]
-        container = TrackContainer(num_frames)
-        next_label = 1
+        k = self.max_instances
+
+        # ---------------- phase 1: dispatch everything ----------------
         metas = []
+        chunks: List[Tuple[List[int], jnp.ndarray]] = []  # (frames, raw labels)
+        committed_by: Dict[int, int] = {}  # frame -> chunk index
+        chunk_window: List[int] = []       # chunk index -> window index
+        assoc_jobs = []  # per window i>0: (cand1_raw_padded, cand2_raw_padded, handles)
 
         prev_frames: List[int] = []
-
         for i, win in enumerate(windows):
             frames = list(win["frames"])
             idx = jnp.asarray(frames)
             window_fg = fg_masks[idx]
+            label_start = 1 + i * k
 
             result = self.cluster_fn(win["embeddings"], win["bandwidths"],
-                                     win["seediness"], window_fg, next_label)
+                                     win["seediness"], window_fg, label_start)
             metas.append(result)
-            # small sync: which cluster slots were created
-            valid = np.asarray(result.valid)
-            new_ids = [next_label + k for k in range(len(valid)) if valid[k]]
-            highest = max([next_label - 1] + new_ids)
 
             if i == 0:
-                next_label = container.add_label_chunk(frames, result.labels,
-                                                       highest, set(new_ids))
-                prev_frames = frames
-                continue
+                new_frames = frames
+                chunk_rows = result.labels
+            else:
+                overlap = sorted(set(frames) & set(prev_frames))
+                cur_idx = jnp.asarray([frames.index(t) for t in overlap])
+                cur_overlap = result.labels[cur_idx]
 
-            overlap = sorted(set(frames) & set(prev_frames))
-            cur_idx = [frames.index(t) for t in overlap]
-            existing = container.get_labels_stacked(overlap)
-            cur_overlap = result.labels[jnp.asarray(cur_idx)]
+                src_chunks = sorted({committed_by[t] for t in overlap})
+                # frame-aligned with cur_overlap (intersections are per-pixel)
+                existing = jnp.stack(
+                    [chunks[committed_by[t]][1][chunks[committed_by[t]][0].index(t)]
+                     for t in overlap])
+                cand1 = []
+                for ci in src_chunks:
+                    wj = chunk_window[ci]
+                    cand1.extend(range(1 + wj * k, 1 + (wj + 1) * k))
+                cand1 = sorted(set(cand1))
+                cand2 = list(range(label_start, label_start + k))
 
-            cand_ids = container.candidate_ids(overlap)
-            associations = []
-            if cand_ids and new_ids:
-                # pad candidate lists (id -2 never occurs) so the jitted IoU
-                # graph is reused across windows
-                c1 = _pad_ids(cand_ids)
-                c2 = _pad_ids(new_ids)
-                iou, p1, p2 = _iou_and_presence(existing, cur_overlap,
-                                                jnp.asarray(c1), jnp.asarray(c2))
-                iou = np.asarray(iou)  # small sync (<= C1 x C2 floats)
-                present1 = np.asarray(p1)
-                present2 = np.asarray(p2)
-                rows = [r for r in range(len(cand_ids)) if present1[r]]
-                cols = [c for c in range(len(new_ids)) if present2[c]]
-                if rows and cols:
-                    sub = 1.0 - iou[np.ix_(rows, cols)]
-                    ri, ci = linear_sum_assignment(sub)
-                    associations = [(cand_ids[rows[r]], new_ids[cols[c]])
-                                    for r, c in zip(ri, ci)]
+                inter, n1, n2 = _intersection_counts(
+                    existing, cur_overlap,
+                    jnp.asarray(_pad_ids(cand1)), jnp.asarray(cand2))
+                assoc_jobs.append((i, cand1, cand2, inter, n1, n2))
 
-            new_frames = [t for t in frames if t not in overlap]
-            new_idx = jnp.asarray([frames.index(t) for t in new_frames])
-            chunk = result.labels[new_idx]
-            if associations:
-                src = jnp.asarray([n for _, n in associations])
-                dst = jnp.asarray([o for o, _ in associations])
-                chunk = _relabel(chunk, src, dst)
+                new_frames = [t for t in frames if t not in overlap]
+                new_idx = jnp.asarray([frames.index(t) for t in new_frames])
+                chunk_rows = result.labels[new_idx]
 
-            matched_new = {n for _, n in associations}
-            chunk_ids = ({n for n in new_ids if n not in matched_new}
-                         | {o for o, _ in associations})
-            next_label = container.add_label_chunk(new_frames, chunk, highest,
-                                                   chunk_ids)
+            ci = len(chunks)
+            chunks.append((new_frames, chunk_rows))
+            chunk_window.append(i)
+            for t in new_frames:
+                committed_by[t] = ci
             prev_frames = frames
 
-        labels, counts, lifetimes = container.get_track_labels()
+        # ------------- phase 2: fetch + associate on host -------------
+        # ONE batched transfer for every queued matrix (each individual
+        # fetch is a full host<->device round trip)
+        fetched = jax.device_get([(j[3], j[4], j[5]) for j in assoc_jobs])
+
+        # raw id -> global id (identity for unmatched ids)
+        gmap: Dict[int, int] = {}
+        assoc_by_window: Dict[int, List[Tuple[int, int]]] = {}
+
+        for (i, cand1, cand2, _, _, _), (inter, n1, n2) in zip(assoc_jobs, fetched):
+            inter = np.asarray(inter)[:len(cand1)]
+            n1 = np.asarray(n1)[:len(cand1)]
+            n2 = np.asarray(n2)
+
+            # fold raw candidate rows into global track ids (intersections
+            # and counts are additive over disjoint chunk pixel sets)
+            global_rows: Dict[int, np.ndarray] = {}
+            global_counts: Dict[int, float] = {}
+            for r, raw in enumerate(cand1):
+                if n1[r] <= 0:
+                    continue
+                g = gmap.get(raw, raw)
+                if g in global_rows:
+                    global_rows[g] = global_rows[g] + inter[r]
+                    global_counts[g] += float(n1[r])
+                else:
+                    global_rows[g] = inter[r].copy()
+                    global_counts[g] = float(n1[r])
+
+            present_new = [c for c, raw in enumerate(cand2) if n2[c] > 0]
+            if not global_rows or not present_new:
+                continue
+
+            g_ids = sorted(global_rows)
+            inter_g = np.stack([global_rows[g] for g in g_ids])[:, present_new]
+            ng = np.asarray([global_counts[g] for g in g_ids])
+            nn = n2[present_new]
+            union = ng[:, None] + nn[None, :] - inter_g
+            iou = np.where(union > 0, inter_g / np.maximum(union, 1.0), 0.0)
+
+            rows, cols = linear_sum_assignment(1.0 - iou)
+            assoc = [(g_ids[r], cand2[present_new[c]]) for r, c in zip(rows, cols)]
+            assoc_by_window[i] = assoc
+            for g, new_raw in assoc:
+                gmap[new_raw] = g
+
+        # ------------------ phase 3: relabel + gather ------------------
+        final_rows: List[Optional[Tuple[jnp.ndarray, int]]] = [None] * num_frames
+        for ci, (frames, rows) in enumerate(chunks):
+            wi = chunk_window[ci]
+            raw_ids = [1 + wi * k + j for j in range(k)]
+            lut = [(raw, gmap[raw]) for raw in raw_ids
+                   if gmap.get(raw, raw) != raw]
+            if lut:
+                src = jnp.asarray([s for s, _ in lut])
+                dst = jnp.asarray([d for _, d in lut])
+                rows = _relabel(rows, src, dst)
+            for row_i, t in enumerate(frames):
+                final_rows[t] = (rows, row_i)
+
+        stacked = jnp.stack(
+            [final_rows[t][0][final_rows[t][1]] for t in range(num_frames)])
+        labels = np.asarray(stacked)  # ONE device->host transfer
+
+        counts: Dict[int, int] = {}
+        first: Dict[int, int] = {}
+        last: Dict[int, int] = {}
+        for t in range(num_frames):
+            ids, cnt = np.unique(labels[t], return_counts=True)
+            for iid, c in zip(ids.tolist(), cnt.tolist()):
+                counts[iid] = counts.get(iid, 0) + c
+                first.setdefault(iid, t)
+                last[iid] = t
+        lifetimes = {iid: last[iid] - first[iid] for iid in counts}
         return labels, counts, lifetimes, metas

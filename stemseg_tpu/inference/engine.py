@@ -2,31 +2,31 @@
 
 Behavioral reference: ``/root/reference/stemseg/modeling/inference_model.py``
 (the streaming wrapper) and ``inference/main.py:52-123`` (TrackGenerator
-plumbing). TPU-native redesign:
+plumbing). TPU-native redesign — built around the observation that for a
+streaming pipeline the bottlenecks are HOST->DEVICE transfers and dispatch
+latency, not FLOPs:
 
-* the backbone runs as ONE jitted graph per frame batch — new frames of each
-  window are batched together ([K, H, W, 3], K = window stride) instead of
-  the reference's one-frame-at-a-time DataLoader loop, keeping the MXU fed;
-* FPN features stay in HBM in a frame-keyed cache with the same
-  window-dependency refcounting as the reference (:83-98, :164-173) — no
-  recompute, no D2H;
-* the heads run as one jitted graph per window, with the per-frame feature
-  stacking INSIDE the jit (a window is a single device dispatch — host->
-  device dispatch latency, not compute, dominates small ops); the embedding
-  output is split (emb | bw·exp·10 | seed) on device (:140-148) and KEPT ON
-  DEVICE for the clustering stage — the reference round-trips every window
-  through ``.cpu()``;
+* the whole sequence ships to the device ONCE — either preprocessed float32
+  frames or, on the fast path, RAW uint8 frames (4x fewer bytes) that are
+  resized + normalized on device inside the backbone graph (the half-pixel
+  bilinear convention matches the host cv2/torch path bit-for-bit within
+  float tolerance — see tests);
+* FPN features live in a device-resident RING BUFFER per scale (capacity
+  2·T frames); the backbone graph gathers its input frames from the
+  device-resident sequence and writes straight into the donated ring — one
+  dispatch per window;
+* the heads graph gathers its window from the ring with a traced index
+  vector (no recompilation across windows) and emits (emb | bw·exp·10 |
+  seed) split on device (:140-148) — one dispatch per window, outputs stay
+  in HBM for the clustering stage;
 * overlapping-window semseg/seediness averaging (:121-128, :196-231) is
-  DEFERRED: per-window logits stay untouched in HBM and one jitted finalize
-  graph (static window schedule unrolled) computes the per-frame means and
-  fg masks for the whole sequence at the end — zero accumulation dispatches
-  in the steady state;
-* duplicate frame indices inside a window (short-sequence front padding) are
-  deduplicated exactly like the reference's dict-keyed stacking (:93-98,
-  :139-148): outputs keep the LAST occurrence of each frame id, sorted.
-
-All shapes are static per (H, W) bucket: one backbone compile per bucket, one
-heads compile per (T, h, w), one finalize compile per (schedule, T_total).
+  deferred: per-window maps stay untouched in HBM and one jitted finalize
+  graph (static schedule unrolled) computes per-frame means and fg masks at
+  the end;
+* the reference's frame-dependency refcounting (:83-98, :164-173) becomes
+  the ring eviction policy; duplicate frame ids inside a window
+  (short-sequence front padding) dedupe exactly like the reference's
+  dict-keyed stacking (:93-98): LAST occurrence, sorted.
 """
 
 from __future__ import annotations
@@ -98,26 +98,62 @@ class InferenceEngine:
 
         self.variance_channels = self.embedding_size - get_nb_free_dims(m.embedding_dim_mode)
 
-        self._backbone_fn = jax.jit(self._backbone_forward)
+        self._backbone_fn = jax.jit(self._backbone_and_store,
+                                    donate_argnums=(2,), static_argnums=(4,))
         self._heads_fn = jax.jit(self._heads_forward)
 
     # ------------------------------------------------------------------
     # jitted pieces
     # ------------------------------------------------------------------
 
-    def _backbone_forward(self, frames: jnp.ndarray):
-        """[K, H, W, 3] -> tuple of 4 FPN maps, finest first."""
+    def _preprocess_on_device(self, raw: jnp.ndarray, out_hw: Tuple[int, int]):
+        """uint8 [K, H0, W0, 3] -> normalized, /32-padded float32 frames.
+        Mirrors ``data/inference_loader.preprocess_frame`` (host path)."""
+        icfg = self.cfg.input
+        x = raw.astype(jnp.float32)
+        k, h0, w0, _ = x.shape
+        new_h, new_w = out_hw
+        x = jax.image.resize(x, (k, new_h, new_w, 3), method="linear",
+                             antialias=False)
+        mean = jnp.asarray(icfg.image_mean, jnp.float32)
+        std = jnp.asarray(icfg.image_std, jnp.float32)
+        if icfg.normalize_to_unit_scale:
+            x = x / 255.0
+        x = (x - mean) / std
+        if not icfg.bgr_input:
+            x = x[..., ::-1]
+        from stemseg_tpu.structures.geometry import pad_to_multiple
+
+        ph, pw = pad_to_multiple(new_h, new_w)
+        return jnp.pad(x, ((0, 0), (0, ph - new_h), (0, pw - new_w), (0, 0)))
+
+    def _backbone_and_store(self, frames_dev, frame_idx, rings, ring_pos,
+                            resize_hw: Optional[Tuple[int, int]] = None):
+        """Gather new frames from the device-resident sequence, run the
+        backbone+FPN, scatter the 4 feature maps into the donated rings —
+        one dispatch per window.
+
+        :param frames_dev: [T_total, H, W, 3] float32 (preprocessed) or
+            [T_total, H0, W0, 3] uint8 raw (then ``resize_hw`` given)
+        :param frame_idx: [K] int32 new frame ids
+        :param rings: tuple of 4 ring buffers [R, h_s, w_s, C]
+        :param ring_pos: [K] int32 ring rows to write
+        """
+        batch = frames_dev[frame_idx]
+        if resize_hw is not None:
+            batch = self._preprocess_on_device(batch, resize_hw)
         feats = self.body.apply(
             {"params": self.params["body"], "constants": self.constants["body"]},
-            frames)
-        return self.fpn.apply({"params": self.params["fpn"]}, feats)
+            batch)
+        feats = self.fpn.apply({"params": self.params["fpn"]}, feats)
+        new_rings = tuple(ring.at[ring_pos].set(f.astype(ring.dtype))
+                          for ring, f in zip(rings, feats))
+        return new_rings
 
-    def _heads_forward(self, per_frame_feats):
-        """per_frame_feats: tuple over 4 scales (finest first) of tuples of T
-        per-frame maps [h_s, w_s, C]. Stacking happens here, inside the jit —
-        one device dispatch per window."""
-        feats = tuple(jnp.stack(scale_frames, axis=0)
-                      for scale_frames in per_frame_feats)
+    def _heads_forward(self, rings, ring_idx):
+        """Gather the window from the rings (traced indices — one compile for
+        all windows) and run the 3D heads — one dispatch per window."""
+        feats = tuple(ring[ring_idx] for ring in rings)  # finest first
         coarsest_first = [f[None] for f in feats[::-1]]
 
         emb_out = self.embedding_head.apply(
@@ -190,12 +226,14 @@ class InferenceEngine:
 
     def infer_sequence(self, frames: np.ndarray, windows: List[List[int]],
                        seediness_fg_threshold: float = 0.25,
-                       semseg_output_type: str = "probs"):
+                       semseg_output_type: str = "probs",
+                       resize_hw: Optional[Tuple[int, int]] = None):
         """Run the full sliding-window inference for one sequence.
 
-        :param frames: [T_total, H, W, 3] normalized, /32-padded frames
-            (host array; frames are shipped to device in window-stride
-            batches)
+        :param frames: [T_total, H, W, 3] float32 normalized /32-padded
+            frames, OR [T_total, H0, W0, 3] uint8 RAW frames together with
+            ``resize_hw`` (pre-padding network dims) for on-device
+            preprocessing — 4x less transfer volume
         :param windows: window schedule (frame indices, duplicates allowed)
         :param semseg_output_type: 'probs' | 'logits' | 'argmax'
         :return: dict with
@@ -205,29 +243,49 @@ class InferenceEngine:
             seediness — all device arrays at the embedding scale)
         """
         t_total = frames.shape[0]
-        cache: Dict[int, Tuple[jnp.ndarray, ...]] = {}
+        frames_dev = jnp.asarray(frames)  # ONE transfer for the sequence
 
-        # frame -> set of windows needing it (refcount, inference_model.py:89-92)
+        if resize_hw is not None:
+            assert frames.dtype == np.uint8, "raw path expects uint8 frames"
+            from stemseg_tpu.structures.geometry import pad_to_multiple
+
+            ph, pw = pad_to_multiple(*resize_hw)
+        else:
+            ph, pw = frames.shape[1], frames.shape[2]
+
+        t_win = len(windows[0])
+        ring_size = 2 * t_win  # holds every live frame for overlap <= T-1
+        scales = (4, 8, 16, 32)
+        c = self.cfg.model.resnets.backbone_out_channels
+        rings = tuple(jnp.zeros((ring_size, ph // s, pw // s, c), jnp.float32)
+                      for s in scales)
+
+        in_ring: Dict[int, int] = {}  # frame id -> ring row
+        free_rows = list(range(ring_size))
+
+        # frame -> windows needing it (eviction refcount)
         deps: Dict[int, set] = {}
         for wi, win in enumerate(windows):
             for t in win:
                 deps.setdefault(t, set()).add(wi)
 
         out_windows = []
-        accum_maps = []   # per window: semseg logits or seediness (device)
+        accum_maps = []
         accum_frames = []
 
         for wi, win in enumerate(windows):
-            new_frames = sorted({t for t in win if t not in cache})
+            new_frames = sorted({t for t in win if t not in in_ring})
             if new_frames:
-                batch = jnp.asarray(frames[np.asarray(new_frames)])
-                feats = self._backbone_fn(batch)  # 4 maps [K, h, w, C]
-                for k, t in enumerate(new_frames):
-                    cache[t] = tuple(f[k] for f in feats)
+                rows = [free_rows.pop() for _ in new_frames]
+                for t, row in zip(new_frames, rows):
+                    in_ring[t] = row
+                rings = self._backbone_fn(
+                    frames_dev, jnp.asarray(new_frames), rings,
+                    jnp.asarray(rows), resize_hw)
 
-            per_frame = tuple(tuple(cache[t][s] for t in win) for s in range(4))
+            ring_idx = jnp.asarray([in_ring[t] for t in win])
             embeddings, bandwidths, seediness, semseg_logits = \
-                self._heads_fn(per_frame)
+                self._heads_fn(rings, ring_idx)
 
             # dedupe to unique frames, keeping the LAST occurrence
             unique_frames = sorted(set(win))
@@ -252,10 +310,10 @@ class InferenceEngine:
             })
 
             # evict frames no further window needs (inference_model.py:164-173)
-            for t in list(cache.keys()):
+            for t in list(in_ring.keys()):
                 deps[t].discard(wi)
                 if not deps[t]:
-                    del cache[t]
+                    free_rows.append(in_ring.pop(t))
                     del deps[t]
 
         fg_masks, multiclass_masks = self._finalize(

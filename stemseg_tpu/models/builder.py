@@ -72,6 +72,7 @@ class STEmSegModel(nn.Module):
     semseg_foreground_channel: bool = True
     output_resize_scale: float = 1.0
     freeze_backbone: bool = False
+    remat_backbone: bool = False
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -79,7 +80,8 @@ class STEmSegModel(nn.Module):
         n, t, h, w, c = images.shape
         flat = images.reshape(n * t, h, w, c)
 
-        backbone = ResNet(
+        backbone_cls = nn.remat(ResNet) if self.remat_backbone else ResNet
+        backbone = backbone_cls(
             stage_specs=STAGE_SPECS[self.backbone_type],
             num_groups=self.num_groups,
             width_per_group=self.width_per_group,
@@ -151,10 +153,18 @@ class STEmSegModel(nn.Module):
         }
 
 
-def build_model(cfg: Config, for_training: bool = True, dtype=None) -> STEmSegModel:
+def build_model(cfg: Config, for_training: bool = True, dtype=None,
+                remat_backbone: bool = False) -> STEmSegModel:
     """Construct the flax module from a config tree (reference
     ``build_model``, ``model_builder.py:247-369``). Pure construction — no
-    RNG, no weight loading; init/restore is the caller's job."""
+    RNG, no weight loading; init/restore is the caller's job.
+
+    ``cfg.training.mixed_precision`` (the reference's apex AMP opt-in,
+    ``training/main.py:53-58``) maps to bfloat16 compute with fp32 params;
+    ``remat_backbone`` enables ``jax.checkpoint`` on the backbone to trade
+    recompute for HBM (useful for 16-frame full-res training)."""
+    if dtype is None and for_training and cfg.training.mixed_precision:
+        dtype = jnp.bfloat16
     m = cfg.model
     return STEmSegModel(
         backbone_type=m.backbone.type,
@@ -182,5 +192,6 @@ def build_model(cfg: Config, for_training: bool = True, dtype=None) -> STEmSegMo
         semseg_foreground_channel=m.semseg.foreground_channel,
         output_resize_scale=4.0 if (for_training and cfg.training.loss_at_full_res) else 1.0,
         freeze_backbone=for_training and cfg.training.freeze_backbone,
+        remat_backbone=remat_backbone,
         dtype=dtype,
     )

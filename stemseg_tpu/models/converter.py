@@ -129,6 +129,11 @@ def convert_state_dict(state_dict: Mapping[str, np.ndarray]) -> Dict[str, Any]:
         if k.startswith("module."):  # DDP-wrapped checkpoints
             k = k[len("module."):]
 
+        # loss-criterion buffers (e.g. embedding_loss_criterion.
+        # free_dim_bandwidths) are config-derived, not weights — skip
+        if "loss_criterion" in k:
+            continue
+
         if k.startswith("backbone."):
             k = k[len("backbone."):]
         # Sequential(OrderedDict(body=..., fpn=...)) (backbone.py:22) names

@@ -177,8 +177,81 @@ class SeedinessDecoder(nn.Module):
         x = SqueezeExpandTrunk(
             self.inter_channels, self.num_frames, self.norm_type, self.gn_groups,
             self.pool_type, dtype=self.dtype, name="trunk")(feats_coarsest_first)
+        # the reference names this head's output conv ``conv_out``
+        # (seediness_decoder.py:80), unlike the fused one (``conv_seediness``)
         return nn.sigmoid(Conv(1, (1, 1, 1), use_bias=False, dtype=self.dtype,
-                               name="conv_seediness")(x))
+                               name="conv_out")(x))
+
+
+class DilatedSqueezeExpandTrunk(nn.Module):
+    """Dilated trunk variant: the 32x/16x squeeze blocks use 3D ASPP
+    pyramids instead of plain convs, with (3,1,1) temporal-only pools.
+    Reference ``embedding_decoder.py:148-244`` (``SqueezingExpandDilatedDecoder``
+    — defined but not registered there; provided here for completeness)."""
+
+    inter_channels: Tuple[int, int, int, int] = (256, 256, 128, 128)
+    num_frames: int = 8
+    norm_type: str = "none"
+    gn_groups: int = 32
+    pool_type: str = "avg"
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, feats: Sequence[jnp.ndarray]):
+        from stemseg_tpu.models.common3d import AtrousPyramid3D
+        from stemseg_tpu.models.layers import avg_pool_3d, max_pool_3d
+
+        assert len(feats) == 4
+        f32, f16, f8, f4 = feats
+        pool_flags = get_pooling_flags(self.num_frames)
+        t_scales = get_temporal_scales(self.num_frames)
+
+        def tpool(x, slot):
+            if not pool_flags[slot]:
+                return x
+            pool = avg_pool_3d if self.pool_type == "avg" else max_pool_3d
+            return pool(x, (3, 1, 1), (2, 1, 1), (1, 0, 0))
+
+        def norm_relu(x, name):
+            norm = _norm(self.norm_type, self.gn_groups, name)
+            if norm is not None:
+                x = norm(x)
+            return nn.relu(x)
+
+        x32 = f32
+        for i, rates in enumerate([((1, 3, 3), (1, 6, 6), (1, 9, 9))] * 3):
+            x32 = AtrousPyramid3D(64, rates, self.inter_channels[0],
+                                  dtype=self.dtype, name=f"block_32x_aspp{i}")(x32)
+            x32 = tpool(norm_relu(x32, f"block_32x_norm{i}"), i)
+        x16 = f16
+        for i in range(2):
+            x16 = AtrousPyramid3D(64, ((1, 4, 4), (1, 8, 8), (1, 12, 12)),
+                                  self.inter_channels[1], dtype=self.dtype,
+                                  name=f"block_16x_aspp{i}")(x16)
+            x16 = tpool(norm_relu(x16, f"block_16x_norm{i}"), i)
+
+        def conv_block(x, ch, slot, name):
+            x = Conv(ch, (3, 3, 3), use_bias=True, dtype=self.dtype,
+                     name=f"{name}_conv0")(x)
+            x = norm_relu(x, f"{name}_norm0")
+            if slot is not None and pool_flags[slot]:
+                pool = _pool(self.pool_type, x)
+                return pool
+            return x
+
+        x8 = conv_block(f8, self.inter_channels[2], 0, "block_8x")
+        x4 = conv_block(f4, self.inter_channels[3], None, "block_4x")
+
+        x = upsample_trilinear(x32, (t_scales[0], 2, 2))
+        x = Conv(self.inter_channels[1], (1, 1, 1), use_bias=False,
+                 dtype=self.dtype, name="conv_16")(jnp.concatenate([x, x16], -1))
+        x = upsample_trilinear(x, (t_scales[1], 2, 2))
+        x = Conv(self.inter_channels[2], (1, 1, 1), use_bias=False,
+                 dtype=self.dtype, name="conv_8")(jnp.concatenate([x, x8], -1))
+        x = upsample_trilinear(x, (t_scales[2], 2, 2))
+        x = Conv(self.inter_channels[3], (1, 1, 1), use_bias=False,
+                 dtype=self.dtype, name="conv_4")(jnp.concatenate([x, x4], -1))
+        return x
 
 
 class SemsegDecoder(nn.Module):

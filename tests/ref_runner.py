@@ -46,13 +46,25 @@ def _install_stubs():
         yaml._stemseg_patched = True
 
 
-def main(input_npz: str, out_npz: str, reference_root: str = "/root/reference"):
+def main(input_npz: str, out_npz: str, variant: str = "default",
+         reference_root: str = "/root/reference"):
     sys.path.insert(0, reference_root)
     _install_stubs()
 
     import torch
 
     torch.set_num_threads(max(1, (torch.get_num_threads() or 2) // 2))
+
+    import os as _os
+
+    from stemseg.config import cfg  # noqa: E402
+    from stemseg.utils import RepoPaths  # noqa: E402
+
+    preset_files = {"default": None, "davis": "davis_1.yaml",
+                    "ytvis": "youtube_vis.yaml"}
+    preset = preset_files[variant]
+    if preset:
+        cfg.merge_from_file(_os.path.join(RepoPaths.configs_dir(), preset))
 
     from stemseg.modeling.model_builder import build_model  # noqa: E402
 
@@ -79,6 +91,9 @@ def main(input_npz: str, out_npz: str, reference_root: str = "/root/reference"):
         if tm.semseg_head is not None:
             semseg = tm.semseg_head([lift(f) for f in feats])
             out["semseg"] = semseg.permute(0, 2, 3, 4, 1).numpy()
+        if tm.seediness_head is not None:
+            seed = tm.seediness_head([lift(f) for f in feats[::-1]])
+            out["seediness"] = seed.permute(0, 2, 3, 4, 1).numpy()
 
     np.savez(out_npz, **out)
 
