@@ -75,6 +75,7 @@ class InferenceEngine:
             norm_type=m.embeddings.normalization_layer,
             gn_groups=m.embeddings.gn_num_groups,
             pool_type=m.embeddings.pool_type,
+            trunk_type=m.embeddings.head_type,
             dtype=dtype)
         self.seediness_head = SeedinessDecoder(
             inter_channels=tuple(m.seediness.inter_channels),
@@ -82,6 +83,7 @@ class InferenceEngine:
             norm_type=m.seediness.normalization_layer,
             gn_groups=m.seediness.gn_num_groups,
             pool_type=m.seediness.pool_type,
+            trunk_type=m.seediness.head_type,
             dtype=dtype) if m.use_seediness_head else None
         self.semseg_head = SemsegDecoder(
             num_classes=cfg.input.num_classes,
@@ -91,6 +93,7 @@ class InferenceEngine:
             norm_type=m.semseg.normalization_layer,
             gn_groups=m.semseg.gn_num_groups,
             pool_type=m.semseg.pool_type,
+            trunk_type=m.semseg.head_type,
             dtype=dtype) if m.use_semseg_head else None
 
         self.embedding_size = m.embeddings.embedding_size

@@ -35,6 +35,12 @@ from stemseg_tpu.models.embedding_utils import (
     get_nb_free_dims,
 )
 from stemseg_tpu.models.layers import Conv, GroupNorm, avg_pool_3d, max_pool_3d, upsample_trilinear
+from stemseg_tpu.utils.registry import Registry
+
+# head_type config strings -> trunk modules (reference registers whole
+# decoders under "squeeze_expand_decoder", embedding_decoder.py:8-11; the
+# dilated variant exists unregistered there, registered here)
+TRUNK_REGISTRY = Registry.get("DecoderTrunk")
 
 
 def _norm(norm_type: str, gn_groups: int, name: str):
@@ -113,6 +119,9 @@ class SqueezeExpandTrunk(nn.Module):
         return x
 
 
+TRUNK_REGISTRY.add("squeeze_expand_decoder", SqueezeExpandTrunk)
+
+
 class EmbeddingDecoder(nn.Module):
     """Embedding head: trunk + conv_embedding (optionally 0.25*tanh) +
     coordinate-grid offset, conv_variance, optional fused conv_seediness.
@@ -128,11 +137,12 @@ class EmbeddingDecoder(nn.Module):
     norm_type: str = "none"
     gn_groups: int = 32
     pool_type: str = "avg"
+    trunk_type: str = "squeeze_expand_decoder"
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, feats_coarsest_first: Sequence[jnp.ndarray]):
-        x = SqueezeExpandTrunk(
+        x = TRUNK_REGISTRY[self.trunk_type](
             self.inter_channels, self.num_frames, self.norm_type, self.gn_groups,
             self.pool_type, dtype=self.dtype, name="trunk")(feats_coarsest_first)
 
@@ -170,11 +180,12 @@ class SeedinessDecoder(nn.Module):
     norm_type: str = "none"
     gn_groups: int = 32
     pool_type: str = "avg"
+    trunk_type: str = "squeeze_expand_decoder"
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, feats_coarsest_first: Sequence[jnp.ndarray]):
-        x = SqueezeExpandTrunk(
+        x = TRUNK_REGISTRY[self.trunk_type](
             self.inter_channels, self.num_frames, self.norm_type, self.gn_groups,
             self.pool_type, dtype=self.dtype, name="trunk")(feats_coarsest_first)
         # the reference names this head's output conv ``conv_out``
@@ -254,6 +265,9 @@ class DilatedSqueezeExpandTrunk(nn.Module):
         return x
 
 
+TRUNK_REGISTRY.add("squeeze_expand_dilated_decoder", DilatedSqueezeExpandTrunk)
+
+
 class SemsegDecoder(nn.Module):
     """Semantic segmentation head: trunk + (num_classes [+1 fg]) logits.
     Reference ``semseg_decoder.py:12-120``."""
@@ -265,11 +279,12 @@ class SemsegDecoder(nn.Module):
     norm_type: str = "none"
     gn_groups: int = 32
     pool_type: str = "avg"
+    trunk_type: str = "squeeze_expand_decoder"
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, feats_coarsest_first: Sequence[jnp.ndarray]):
-        x = SqueezeExpandTrunk(
+        x = TRUNK_REGISTRY[self.trunk_type](
             self.inter_channels, self.num_frames, self.norm_type, self.gn_groups,
             self.pool_type, dtype=self.dtype, name="trunk")(feats_coarsest_first)
         out_ch = self.num_classes + 1 if self.foreground_channel else self.num_classes

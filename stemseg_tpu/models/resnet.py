@@ -37,6 +37,11 @@ RESNET101_FPN_STAGES = tuple(StageSpec(i, c, True) for i, c in ((1, 3), (2, 4), 
 STAGE_SPECS = {
     "R-50-FPN": RESNET50_FPN_STAGES,
     "R-101-FPN": RESNET101_FPN_STAGES,
+    # ResNeXt-101: same stage layout; the grouped-conv width comes from
+    # cfg.model.resnets (num_groups=32, width_per_group=8). The reference
+    # registers this key (backbone/__init__.py:9) but its _STAGE_SPECS table
+    # lacks it — a latent KeyError there; functional here.
+    "X-101-FPN": RESNET101_FPN_STAGES,
 }
 
 
