@@ -25,7 +25,7 @@ import time
 import numpy as np
 
 
-def build_trainer_objects(cfg, n_devices: int):
+def build_trainer_objects(cfg, n_devices: int, remat_backbone: bool = False):
     """Model + state + sharded step (factored out for tests)."""
     import jax
     import jax.numpy as jnp
@@ -34,7 +34,7 @@ def build_trainer_objects(cfg, n_devices: int):
     from stemseg_tpu.parallel import create_mesh
     from stemseg_tpu.training.step import create_train_state, make_train_step
 
-    model = build_model(cfg, for_training=True)
+    model = build_model(cfg, for_training=True, remat_backbone=remat_backbone)
 
     per_chip = cfg.training.max_samples_per_chip
     global_batch = n_devices * per_chip
@@ -70,7 +70,8 @@ class Trainer:
 
         n_devices = len(jax.devices())
         (self.model, self.state, self.tx, self.step_fn, self.mesh,
-         self.global_batch, self.accumulate_steps) = build_trainer_objects(cfg, n_devices)
+         self.global_batch, self.accumulate_steps) = build_trainer_objects(
+            cfg, n_devices, remat_backbone=getattr(args, "remat", False))
 
         self.logger = TrainingLogger(os.path.join(model_dir, "logs"))
         self.interrupt = InterruptDetector()
@@ -241,6 +242,9 @@ def make_parser() -> argparse.ArgumentParser:
     parser.add_argument("--save_interval", type=int, default=10000)
     parser.add_argument("--num_cpu_workers", type=int, default=8)
     parser.add_argument("--ckpts_to_keep", type=int, default=2)
+    parser.add_argument("--remat", action="store_true",
+                        help="jax.checkpoint the backbone (HBM for recompute; "
+                             "use for 16-frame full-res configs)")
     return parser
 
 
