@@ -10,7 +10,7 @@ once per bucket rather than once per odd geometry.
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 

@@ -15,7 +15,7 @@ from __future__ import annotations
 
 import os
 import random
-from typing import Dict, List, Optional
+from typing import Dict
 
 import numpy as np
 import yaml

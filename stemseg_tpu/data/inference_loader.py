@@ -12,7 +12,7 @@ releases the GIL), and frames come out channels-last, /32-padded, ready for
 from __future__ import annotations
 
 from concurrent.futures import ThreadPoolExecutor
-from typing import List, Optional, Tuple, Union
+from typing import List, Tuple, Union
 
 import cv2
 import numpy as np

@@ -22,7 +22,7 @@ are ``[N, T, H, W, C]`` — the layouts XLA tiles best onto the TPU MXU.
 
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -24,7 +24,7 @@ API mirrors ``pycocotools.mask``: ``encode`` / ``decode`` / ``area`` /
 from __future__ import annotations
 
 import ctypes
-from typing import Dict, List, Optional, Sequence, Union
+from typing import Dict, List, Sequence, Union
 
 import numpy as np
 

@@ -91,3 +91,74 @@ def test_inference_cli_davis(tmp_path, monkeypatch):
 
     assert Timer.get_duration("inference") > 0
     assert Timer.get_duration("postprocessing") > 0
+
+
+def test_inference_cli_ytvis_resize_embeddings(tmp_path, monkeypatch):
+    """YT-VIS branch with --resize_embeddings: per-window semseg logits and
+    embeddings are upscaled 4x before clustering (upscaled_inputs outputs)."""
+    import jax
+    import jax.numpy as jnp
+
+    from stemseg_tpu.config import load_config, save_config
+    from stemseg_tpu.inference import main as inference_main
+    from stemseg_tpu.models import build_model
+    from stemseg_tpu.training import create_train_state
+    from stemseg_tpu.training.checkpoint import save_checkpoint
+    from stemseg_tpu.utils.timer import Timer
+
+    Timer.reset()
+    rng = np.random.RandomState(1)
+    n_frames, h, w = 5, 48, 64
+    base_dir = str(tmp_path / "ytvis" / "valid")
+    os.makedirs(os.path.join(base_dir, "seqB"), exist_ok=True)
+    image_paths, segmentations = [], []
+    for t in range(n_frames):
+        img = rng.randint(0, 255, (h, w, 3), np.uint8)
+        rel = f"seqB/{t:05d}.jpg"
+        cv2.imwrite(os.path.join(base_dir, rel), img)
+        image_paths.append(rel)
+        m = np.zeros((h, w), np.uint8)
+        m[8:24, 8 + t:24 + t] = 1
+        segmentations.append({"1": rle_codec.encode(m)["counts"].decode("utf-8")})
+    ds = {"meta": {"category_labels": {str(i): f"cat{i}" for i in range(1, 4)}},
+          "sequences": [{"id": 11, "height": h, "width": w,
+                         "image_paths": image_paths,
+                         "categories": {"1": 1},
+                         "segmentations": segmentations}]}
+    ann_dir = str(tmp_path / "ann")
+    os.makedirs(ann_dir, exist_ok=True)
+    with open(os.path.join(ann_dir, "youtube_vis_val.json"), "w") as fh:
+        json.dump(ds, fh)
+
+    cfg = load_config({
+        "input": {"num_frames": 4, "num_classes": 4, "min_dim": 32, "max_dim": 48},
+        "model": {"backbone": {"type": "R-50-FPN"}},
+        "training": {"lr_decay_type": "none"},
+        "clustering": {"min_seediness_prob": 0.0},
+    })
+    model_dir = str(tmp_path / "model")
+    os.makedirs(model_dir, exist_ok=True)
+    save_config(cfg, os.path.join(model_dir, "config.yaml"))
+    model = build_model(cfg, for_training=False)
+    state, _ = create_train_state(model, cfg, jax.random.PRNGKey(0),
+                                  jnp.zeros((1, 4, 32, 32, 3)))
+    ckpt = save_checkpoint(model_dir, 3, state)
+
+    monkeypatch.setenv("YOUTUBE_VIS_BASE_DIR", str(tmp_path / "ytvis"))
+    monkeypatch.setenv("STEMSEG_JSON_ANNOTATIONS_DIR", ann_dir)
+
+    out_dir = str(tmp_path / "out")
+    inference_main.main([ckpt, "-o", out_dir, "--dataset", "ytvis",
+                         "--resize_embeddings", "--frame_overlap", "2",
+                         "--max_tracks", "5"])
+
+    with open(os.path.join(out_dir, "results.json")) as fh:
+        results = json.load(fh)
+    assert results, "expected at least one track"
+    for r in results:
+        assert r["video_id"] == 11
+        assert 1 <= r["category_id"] <= 3
+        assert len(r["segmentations"]) == n_frames
+        dec = rle_codec.decode({"size": r["segmentations"][0]["size"],
+                                "counts": r["segmentations"][0]["counts"]})
+        assert dec.shape == (h, w)
