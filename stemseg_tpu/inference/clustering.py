@@ -175,8 +175,9 @@ def cluster_window(embeddings: jnp.ndarray, bandwidths: jnp.ndarray,
     if backend == "auto":
         from stemseg_tpu.ops import pallas_clustering_supported
 
+        e_full = embeddings.shape[-1]
         backend = "pallas" if pallas_clustering_supported(
-            p, params.max_instances) else "xla"
+            p, params.max_instances, e_dims=e_full) else "xla"
 
     return _cluster_window_jit(embeddings, bandwidths, seediness, fg_mask,
                                jnp.asarray(label_start, jnp.int32), params,

@@ -46,14 +46,20 @@ from jax.experimental.pallas import tpu as pltpu
 LANES = 128
 SUBLANES = 8
 BLOCK = LANES * SUBLANES
-PALLAS_POINT_LIMIT = 320 * 1024  # keeps state under ~14 MB VMEM
+VMEM_BUDGET_BYTES = 14 * 1024 * 1024  # leave headroom under the ~16 MB core
+PALLAS_POINT_LIMIT = 256 * 1024  # coarse cap (exact check is E-dependent)
 K_PAD = 32  # meta output rows (>= max_instances, sublane-aligned)
 
 
-def pallas_clustering_supported(n_points: int, max_instances: int) -> bool:
+def pallas_clustering_supported(n_points: int, max_instances: int,
+                                e_dims: int = 4) -> bool:
+    """The kernel keeps (2E input planes + seed + fg + labels + best_d +
+    best_idx + avail_last) f32/int32 planes resident: (2E + 6)·4 bytes per
+    point must fit the VMEM budget."""
+    per_point = (2 * e_dims + 6) * 4
     return (
         jax.default_backend() == "tpu"
-        and n_points <= PALLAS_POINT_LIMIT
+        and n_points * per_point <= VMEM_BUDGET_BYTES
         and max_instances <= K_PAD
     )
 

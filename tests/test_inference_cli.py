@@ -162,3 +162,74 @@ def test_inference_cli_ytvis_resize_embeddings(tmp_path, monkeypatch):
         dec = rle_codec.decode({"size": r["segmentations"][0]["size"],
                                 "counts": r["segmentations"][0]["counts"]})
         assert dec.shape == (h, w)
+
+
+def test_inference_cli_kittimots(tmp_path, monkeypatch):
+    """KITTI-MOTS branch: argmax semseg classes, MOTS txt output + NMS."""
+    import jax
+    import jax.numpy as jnp
+
+    from stemseg_tpu.config import load_config, save_config
+    from stemseg_tpu.inference import main as inference_main
+    from stemseg_tpu.models import build_model
+    from stemseg_tpu.training import create_train_state
+    from stemseg_tpu.training.checkpoint import save_checkpoint
+    from stemseg_tpu.utils.timer import Timer
+
+    Timer.reset()
+    rng = np.random.RandomState(2)
+    n_frames, h, w = 5, 48, 64
+    base_dir = str(tmp_path / "kitti")
+    os.makedirs(os.path.join(base_dir, "0002"), exist_ok=True)
+    image_paths, segmentations = [], []
+    for t in range(n_frames):
+        img = rng.randint(0, 255, (h, w, 3), np.uint8)
+        rel = f"0002/{t:06d}.png"
+        cv2.imwrite(os.path.join(base_dir, rel), img)
+        image_paths.append(rel)
+        m = np.zeros((h, w), np.uint8)
+        m[8:24, 8 + t:24 + t] = 1
+        segmentations.append({"1": rle_codec.encode(m)["counts"].decode("utf-8")})
+    ds = {"meta": {"category_labels": {"1": "car", "2": "pedestrian"}},
+          "sequences": [{"id": "0002", "height": h, "width": w,
+                         "image_paths": image_paths,
+                         "categories": {"1": 1},
+                         "segmentations": segmentations}]}
+    ann_dir = str(tmp_path / "ann")
+    os.makedirs(ann_dir, exist_ok=True)
+    with open(os.path.join(ann_dir, "kittimots_val.json"), "w") as fh:
+        json.dump(ds, fh)
+
+    cfg = load_config({
+        "input": {"num_frames": 4, "num_classes": 3, "min_dim": 32, "max_dim": 48},
+        "model": {"backbone": {"type": "R-50-FPN"}},
+        "training": {"lr_decay_type": "none"},
+        "clustering": {"min_seediness_prob": 0.0},
+    })
+    model_dir = str(tmp_path / "model")
+    os.makedirs(model_dir, exist_ok=True)
+    save_config(cfg, os.path.join(model_dir, "config.yaml"))
+    model = build_model(cfg, for_training=False)
+    state, _ = create_train_state(model, cfg, jax.random.PRNGKey(0),
+                                  jnp.zeros((1, 4, 32, 32, 3)))
+    ckpt = save_checkpoint(model_dir, 1, state)
+
+    monkeypatch.setenv("KITTIMOTS_BASE_DIR", base_dir)
+    monkeypatch.setenv("STEMSEG_JSON_ANNOTATIONS_DIR", ann_dir)
+
+    out_dir = str(tmp_path / "out")
+    inference_main.main([ckpt, "-o", out_dir, "--dataset", "kittimots",
+                         "--frame_overlap", "2"])
+
+    from stemseg_tpu.inference.output_utils.kitti_mots_postprocessing import Detection
+
+    txt_path = os.path.join(out_dir, "results", "0002.txt")
+    with open(txt_path) as fh:
+        dets = [Detection.from_txt(l) for l in fh]
+    assert dets, "expected detections"
+    for d in dets:
+        assert d.class_id in (1, 2)
+        assert d.track_id // 1000 == d.class_id
+        assert d._mask["size"] == (h, w)
+    # NMS output dir written by save()
+    assert os.path.isdir(os.path.join(out_dir, "results_nms"))
