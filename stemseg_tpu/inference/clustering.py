@@ -68,6 +68,7 @@ def _cluster(embeddings, bandwidths, seediness, fg_mask, params: ClusterParams):
                           embeddings.dtype)
 
     labels0 = jnp.full((p,), -1, jnp.int32)
+    reference_mode = params.secondary_assignment == "reference"
 
     class Carry(NamedTuple):
         labels: jnp.ndarray
@@ -75,7 +76,11 @@ def _cluster(embeddings, bandwidths, seediness, fg_mask, params: ClusterParams):
         bws: jnp.ndarray
         valid: jnp.ndarray
         seed_probs: jnp.ndarray
-        distances: jnp.ndarray      # [K, P] — 1e8 where not computed
+        # running farthest (reference) / nearest masked distance per point —
+        # equivalent to the reference's stacked [K, P] argmax/argmin with
+        # first-occurrence tie-breaks, at 1/K the memory traffic
+        best_d: jnp.ndarray         # [P]
+        best_idx: jnp.ndarray       # [P]
         stopped: jnp.ndarray        # bool
         avail_last: jnp.ndarray     # availability mask at start of last executed iter
         n_unassigned_last: jnp.ndarray
@@ -86,7 +91,9 @@ def _cluster(embeddings, bandwidths, seediness, fg_mask, params: ClusterParams):
         bws=jnp.zeros((k, e), embeddings.dtype),
         valid=jnp.zeros((k,), bool),
         seed_probs=jnp.zeros((k,), embeddings.dtype),
-        distances=jnp.full((k, p), 1e8, embeddings.dtype),
+        best_d=jnp.full((p,), -jnp.inf if reference_mode else jnp.inf,
+                        embeddings.dtype),
+        best_idx=jnp.zeros((p,), jnp.int32),
         stopped=jnp.asarray(False),
         avail_last=fg_mask,
         n_unassigned_last=jnp.sum(fg_mask.astype(jnp.int32)),
@@ -117,13 +124,19 @@ def _cluster(embeddings, bandwidths, seediness, fg_mask, params: ClusterParams):
         probs = jnp.exp(-0.5 * d)
         match = (probs > params.primary_prob_thresh) & avail & active
 
+        if reference_mode:
+            upd = active & (d_masked > c.best_d)
+        else:
+            upd = active & (d_masked < c.best_d)
+
         return Carry(
             labels=jnp.where(match, i, c.labels),
             centers=c.centers.at[i].set(jnp.where(active, center, 0.0)),
             bws=c.bws.at[i].set(jnp.where(active, full_bw, 0.0)),
             valid=c.valid.at[i].set(active),
             seed_probs=c.seed_probs.at[i].set(jnp.where(active, seed_prob, 0.0)),
-            distances=c.distances.at[i].set(d_masked),
+            best_d=jnp.where(upd, d_masked, c.best_d),
+            best_idx=jnp.where(upd, i, c.best_idx),
             stopped=~active,
             avail_last=avail_last,
             n_unassigned_last=n_unassigned_last,
@@ -133,22 +146,11 @@ def _cluster(embeddings, bandwidths, seediness, fg_mask, params: ClusterParams):
 
     # secondary assignment (clusterers.py:148-159)
     any_cluster = jnp.any(c.valid)
-    if params.secondary_assignment == "reference":
-        # reference quirk: argmax over distances (farthest cluster)
-        dist_for_pick = jnp.where(c.valid[:, None], c.distances, -jnp.inf)
-        picked = jnp.argmax(dist_for_pick, axis=0)  # [P]
-        picked_d = jnp.take_along_axis(c.distances, picked[None], axis=0)[0]
-        gate_mask = c.avail_last
-    else:
-        dist_for_pick = jnp.where(c.valid[:, None], c.distances, jnp.inf)
-        picked = jnp.argmin(dist_for_pick, axis=0)
-        picked_d = jnp.take_along_axis(c.distances, picked[None], axis=0)[0]
-        gate_mask = (c.labels == -1) & fg_mask
-
-    sec_probs = jnp.exp(-0.5 * picked_d)
+    gate_mask = c.avail_last if reference_mode else ((c.labels == -1) & fg_mask)
+    sec_probs = jnp.exp(-0.5 * c.best_d)
     do_secondary = any_cluster & (c.n_unassigned_last > 0)
     update = (sec_probs > params.secondary_prob_thresh) & gate_mask & do_secondary
-    labels = jnp.where(update, picked.astype(jnp.int32), c.labels)
+    labels = jnp.where(update, c.best_idx, c.labels)
 
     return ClusterResult(labels=labels, centers=c.centers, bandwidths=c.bws,
                          valid=c.valid, seed_probs=c.seed_probs)
