@@ -279,6 +279,9 @@ class InferenceEngine:
         for wi, win in enumerate(windows):
             new_frames = sorted({t for t in win if t not in in_ring})
             if new_frames:
+                assert len(free_rows) >= len(new_frames), (
+                    "feature ring exhausted — window schedule keeps more than "
+                    f"{ring_size} frames live")
                 rows = [free_rows.pop() for _ in new_frames]
                 for t, row in zip(new_frames, rows):
                     in_ring[t] = row

@@ -204,6 +204,9 @@ class TrackGenerator:
 
     def process_sequence(self, sequence, max_tracks: int):
         frames, image_hw = self._load_frames(sequence)
+        self._process_loaded(sequence, frames, image_hw, max_tracks)
+
+    def _process_loaded(self, sequence, frames, image_hw, max_tracks: int):
         out = self.do_inference(frames, image_hw)
         labels, counts, lifetimes, _ = self.do_clustering(out)
 
@@ -219,11 +222,21 @@ class TrackGenerator:
         self.total_frames_processed += len(sequence)
 
     def start(self, sequences, seqs_to_process: Optional[List[str]] = None):
-        for i, sequence in enumerate(sequences):
-            if seqs_to_process and str(sequence.id) not in seqs_to_process:
-                continue
-            print(f"Performing inference for sequence {i + 1}/{len(sequences)}")
-            self.process_sequence(sequence, self.max_tracks)
+        from concurrent.futures import ThreadPoolExecutor
+
+        todo = [s for s in sequences
+                if not seqs_to_process or str(s.id) in seqs_to_process]
+
+        # prefetch the NEXT sequence's frames while the device crunches the
+        # current one (image I/O is excluded from the fps timers either way)
+        with ThreadPoolExecutor(max_workers=1) as prefetcher:
+            pending = prefetcher.submit(self._load_frames, todo[0]) if todo else None
+            for i, sequence in enumerate(todo):
+                print(f"Performing inference for sequence {i + 1}/{len(todo)}")
+                frames, image_hw = pending.result()
+                if i + 1 < len(todo):
+                    pending = prefetcher.submit(self._load_frames, todo[i + 1])
+                self._process_loaded(sequence, frames, image_hw, self.max_tracks)
 
         inf = max(Timer.get_duration("inference"), 1e-9)
         post = max(Timer.get_duration("postprocessing"), 1e-9)
