@@ -251,3 +251,38 @@ def test_instance_duplicator():
     for om, dm in zip(orig_masks, dup_masks):
         assert dm.sum() > 0
         assert not (om.astype(bool) & dm.astype(bool)).any()  # occlusion applied
+
+
+def test_visualize_data_loading_cli(tmp_path, tiny_cfg, monkeypatch):
+    """Headless debug CLI writes annotated JPEGs for training samples."""
+    import random
+
+    import yaml
+
+    from stemseg_tpu.data import visualize_data_loading as vdl
+    from stemseg_tpu.training import datasets as datasets_mod
+
+    random.seed(0)
+    base_dir, json_path, _ = _write_video_dataset(tmp_path)
+
+    from stemseg_tpu.data import DavisDataLoader
+
+    ds = DavisDataLoader(base_dir, json_path, tiny_cfg.input,
+                         samples_to_create=2, frame_gap_lower=4, frame_gap_upper=4)
+    monkeypatch.setattr(vdl, "main", vdl.main)  # no-op, keep reference
+    import stemseg_tpu.training.datasets as tds
+
+    monkeypatch.setattr(tds, "create_training_dataset",
+                        lambda cfg, n, print_fn=print: ds)
+
+    cfg_path = str(tmp_path / "cfg.yaml")
+    with open(cfg_path, "w") as fh:
+        yaml.safe_dump({"input": {"num_frames": 4, "min_dim": 32, "max_dim": 48}}, fh)
+
+    out_dir = str(tmp_path / "vis")
+    vdl.main(["--cfg", cfg_path, "-o", out_dir, "--num_samples", "2"])
+
+    files = sorted(os.listdir(os.path.join(out_dir, "sample_000")))
+    assert files == [f"{t:05d}.jpg" for t in range(4)]
+    img = cv2.imread(os.path.join(out_dir, "sample_000", files[0]))
+    assert img is not None and img.shape[2] == 3
