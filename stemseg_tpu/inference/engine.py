@@ -102,7 +102,7 @@ class InferenceEngine:
         self.variance_channels = self.embedding_size - get_nb_free_dims(m.embedding_dim_mode)
 
         self._backbone_fn = jax.jit(self._backbone_and_store,
-                                    donate_argnums=(2,), static_argnums=(4,))
+                                    donate_argnums=(1,), static_argnums=(3,))
         self._heads_fn = jax.jit(self._heads_forward)
 
     # ------------------------------------------------------------------
@@ -130,19 +130,22 @@ class InferenceEngine:
         ph, pw = pad_to_multiple(new_h, new_w)
         return jnp.pad(x, ((0, 0), (0, ph - new_h), (0, pw - new_w), (0, 0)))
 
-    def _backbone_and_store(self, frames_dev, frame_idx, rings, ring_pos,
+    def _backbone_and_store(self, batch, rings, ring_pos,
                             resize_hw: Optional[Tuple[int, int]] = None):
-        """Gather new frames from the device-resident sequence, run the
-        backbone+FPN, scatter the 4 feature maps into the donated rings —
-        one dispatch per window.
+        """Run the backbone+FPN on a window's new frames and scatter the 4
+        feature maps into the donated rings — one dispatch per window.
 
-        :param frames_dev: [T_total, H, W, 3] float32 (preprocessed) or
-            [T_total, H0, W0, 3] uint8 raw (then ``resize_hw`` given)
-        :param frame_idx: [K] int32 new frame ids
+        The frame gather from the device-resident sequence happens OUTSIDE
+        this jit: the sequence length would otherwise be part of the jit
+        signature and every new video length would recompile the whole
+        R-101 graph. Here the signature is [K, H, W, 3] — K has only a few
+        values per window schedule and H/W are uniform per dataset.
+
+        :param batch: [K, H, W, 3] float32 (preprocessed) or
+            [K, H0, W0, 3] uint8 raw (then ``resize_hw`` given)
         :param rings: tuple of 4 ring buffers [R, h_s, w_s, C]
         :param ring_pos: [K] int32 ring rows to write
         """
-        batch = frames_dev[frame_idx]
         if resize_hw is not None:
             batch = self._preprocess_on_device(batch, resize_hw)
         feats = self.body.apply(
@@ -285,9 +288,11 @@ class InferenceEngine:
                 rows = [free_rows.pop() for _ in new_frames]
                 for t, row in zip(new_frames, rows):
                     in_ring[t] = row
-                rings = self._backbone_fn(
-                    frames_dev, jnp.asarray(new_frames), rings,
-                    jnp.asarray(rows), resize_hw)
+                # gather outside the jit — keeps the backbone graph's
+                # signature independent of the sequence length
+                batch = frames_dev[jnp.asarray(new_frames)]
+                rings = self._backbone_fn(batch, rings, jnp.asarray(rows),
+                                          resize_hw)
 
             ring_idx = jnp.asarray([in_ring[t] for t in win])
             embeddings, bandwidths, seediness, semseg_logits = \
