@@ -188,24 +188,26 @@ class InferenceEngine:
 
         return embeddings, bandwidths, seediness, semseg_logits
 
-    @functools.partial(jax.jit, static_argnums=(0, 2, 3, 4, 5))
-    def _finalize(self, window_maps, frame_lists: Tuple[Tuple[int, ...], ...],
-                  t_total: int, semseg_output_type: str,
-                  seediness_fg_threshold: float):
+    @functools.partial(jax.jit, static_argnums=(0, 3, 4, 5))
+    def _finalize(self, stacked_maps, flat_idx, t_pad: int,
+                  semseg_output_type: str, seediness_fg_threshold: float):
         """Average overlapping-window maps per frame and derive fg /
-        multiclass masks — ONE compiled graph per window schedule.
+        multiclass masks — one scatter-add graph whose signature depends only
+        on BUCKETED sizes (not the exact window schedule), so distinct
+        sequence lengths share compiles.
 
-        :param window_maps: list over windows of [T_w, h, w, (C)] maps
-            (semseg logits, or seediness when there is no semseg head)
+        :param stacked_maps: [M, h, w, (C)] all window rows concatenated
+            (semseg logits, or seediness when there is no semseg head),
+            padded rows allowed
+        :param flat_idx: [M] int32 target frame per row; padded rows point at
+            the trash row ``t_pad - 1`` (callers slice it away)
         """
-        sample = window_maps[0]
-        acc = jnp.zeros((t_total,) + sample.shape[1:], jnp.float32)
-        cnt = jnp.zeros((t_total,), jnp.float32)
-        for wmap, frames in zip(window_maps, frame_lists):
-            idx = jnp.asarray(frames)
-            acc = acc.at[idx].add(wmap.astype(jnp.float32))
-            cnt = cnt.at[idx].add(1.0)
-        mean = acc / cnt.reshape((t_total,) + (1,) * (acc.ndim - 1))
+        acc = jnp.zeros((t_pad,) + stacked_maps.shape[1:], jnp.float32)
+        cnt = jnp.zeros((t_pad,), jnp.float32)
+        acc = acc.at[flat_idx].add(stacked_maps.astype(jnp.float32))
+        cnt = cnt.at[flat_idx].add(1.0)
+        mean = acc / jnp.maximum(cnt, 1.0).reshape(
+            (t_pad,) + (1,) * (acc.ndim - 1))
 
         if self.semseg_head is None:
             # fg from window-averaged seediness (inference/main.py:95-103)
@@ -327,9 +329,30 @@ class InferenceEngine:
                     free_rows.append(in_ring.pop(t))
                     del deps[t]
 
+        # bucket shapes so sequences of different lengths share one compile:
+        # trash row at t_pad-1 absorbs padded rows, sliced away below
+        t_pad = ((t_total + 1 + 7) // 8) * 8
+        t_win = max(len(f) for f in accum_frames)
+        rows, idxs = [], []
+        for wmap, frames in zip(accum_maps, accum_frames):
+            rows.append(wmap)
+            idxs.extend(frames)
+            short = t_win - len(frames)
+            if short:  # deduped short-sequence window
+                rows.append(jnp.zeros((short,) + wmap.shape[1:], wmap.dtype))
+                idxs.extend([t_pad - 1] * short)
+        n_win_pad = ((len(accum_maps) + 3) // 4) * 4
+        for _ in range(n_win_pad - len(accum_maps)):
+            rows.append(jnp.zeros((t_win,) + accum_maps[0].shape[1:],
+                                  accum_maps[0].dtype))
+            idxs.extend([t_pad - 1] * t_win)
+        stacked = jnp.concatenate(rows, axis=0)
         fg_masks, multiclass_masks = self._finalize(
-            accum_maps, tuple(accum_frames), t_total, semseg_output_type,
-            seediness_fg_threshold)
+            stacked, jnp.asarray(idxs, jnp.int32), t_pad,
+            semseg_output_type, seediness_fg_threshold)
+        fg_masks = fg_masks[:t_total]
+        if multiclass_masks is not None:
+            multiclass_masks = multiclass_masks[:t_total]
 
         return {
             "fg_masks": fg_masks,
