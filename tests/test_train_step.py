@@ -121,3 +121,31 @@ def test_sharded_train_step_8dev():
                          jax.tree.map(jnp.asarray, batch))
     np.testing.assert_allclose(float(metrics["total"]), float(m_single["total"]),
                                rtol=1e-5)
+
+
+def test_loss_at_full_res_path():
+    """LOSS_AT_FULL_RES: outputs upscaled 4x, targets stay full-res
+    (model_builder.py:197-206 / resize_masks :139-151)."""
+    cfg = load_config({
+        "input": {"num_frames": 2, "num_classes": 2, "min_dim": 32, "max_dim": 64},
+        "model": {"backbone": {"type": "R-50-FPN"}},
+        "training": {"initial_lr": 0.01, "lr_decay_type": "none",
+                     "loss_at_full_res": True},
+    })
+    model = build_model(cfg, for_training=True)
+    assert model.output_resize_scale == 4.0
+    rng = np.random.RandomState(0)
+    batch = _batch(rng)
+    state, tx = create_train_state(model, cfg, jax.random.PRNGKey(0),
+                                   jnp.asarray(batch["images"]))
+
+    # the forward emits full-res maps
+    out = model.apply({"params": state.params, "constants": state.constants},
+                      jnp.asarray(batch["images"]))
+    n, t, h, w, _ = batch["images"].shape
+    assert out["embeddings"].shape[1:4] == (t, h, w)
+    assert out["semseg_masks"].shape[1:4] == (t, h, w)
+
+    step = make_train_step(model, cfg, tx, donate=False)
+    _, metrics = step(state, jax.tree.map(jnp.asarray, batch))
+    assert np.isfinite(float(metrics["total"]))
