@@ -123,3 +123,34 @@ def test_trainer_end_to_end(tmp_path, tiny_cfg_file, monkeypatch):
     # auto-resume: a new trainer in the same dir starts at iteration 4
     trainer2 = Trainer(cfg, model_dir, args)
     assert trainer2.elapsed_iterations == 4
+
+
+def test_initial_ckpt_warm_start(tmp_path, tiny_cfg_file):
+    """--initial_ckpt loads weights only; training starts at iteration 0
+    (reference training/main.py:86-88, stage-2 warm starts)."""
+    import jax
+    import jax.numpy as jnp
+
+    from stemseg_tpu.config import load_config
+    from stemseg_tpu.models import build_model
+    from stemseg_tpu.training import create_train_state
+    from stemseg_tpu.training.checkpoint import save_checkpoint
+    from stemseg_tpu.training.main import Trainer, make_parser
+
+    cfg = load_config(tiny_cfg_file)
+    model = build_model(cfg, for_training=True)
+    state, _ = create_train_state(model, cfg, jax.random.PRNGKey(7),
+                                  jnp.zeros((1, 2, 64, 96, 3)))
+    donor_dir = str(tmp_path / "donor")
+    ckpt = save_checkpoint(donor_dir, 500, state)
+
+    model_dir = str(tmp_path / "warm")
+    args = make_parser().parse_args([
+        "--model_dir", model_dir, "--cfg", tiny_cfg_file,
+        "--initial_ckpt", ckpt, "--no_resume",
+    ])
+    trainer = Trainer(cfg, model_dir, args)
+    assert trainer.elapsed_iterations == 0  # weights only, not session state
+    np.testing.assert_array_equal(
+        np.asarray(trainer.state.params["body"]["stem"]["conv1"]["conv"]["kernel"]),
+        np.asarray(state.params["body"]["stem"]["conv1"]["conv"]["kernel"]))
