@@ -15,6 +15,7 @@ from stemseg_tpu.config.config import (
     default_config,
     load_config,
     merge,
+    resolve_max_instances,
     save_config,
     to_dict,
 )
@@ -32,7 +33,7 @@ def load_preset(name: str) -> Config:
 
 __all__ = [
     "Config", "ConfigError", "default_config", "load_config", "load_preset",
-    "merge", "save_config", "to_dict", "PRESETS_DIR",
+    "merge", "resolve_max_instances", "save_config", "to_dict", "PRESETS_DIR",
     "InputConfig", "TrainingConfig", "ModelConfig", "DataConfig",
     "ClusteringConfig", "EmbeddingLossConfig", "EmbeddingsHeadConfig",
     "SemsegHeadConfig", "SeedinessHeadConfig",

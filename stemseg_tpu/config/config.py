@@ -142,6 +142,19 @@ class TrainingConfig:
     momentum: float = 0.9
     nesterov: bool = True
     losses: LossesConfig = field(default_factory=LossesConfig)
+    # Instance-axis pad size for the fixed-shape batch (the reference keeps
+    # ragged per-sample instance lists and never caps). 0 = auto per mode:
+    # 30 for kitti_mots (Mapillary keeps the 30 largest instances, reference
+    # ``mapillary_data_loader.py:20``), 16 otherwise (crowded COCO/YT-VIS
+    # clips exceed 8).
+    max_instances: int = 0
+    # What to do when a sample exceeds max_instances:
+    #   "ignore" — keep the largest-area instances, fold the rest into the
+    #              ignore mask (the same policy Mapillary applies beyond its
+    #              top-30, reference ``mapillary_data_loader.py:76-103``);
+    #   "drop"   — keep the first max_instances, silently lose the rest;
+    #   "error"  — raise.
+    instance_overflow: str = "ignore"
 
 
 @dataclass(frozen=True)
@@ -298,6 +311,19 @@ class Config:
 
 def default_config() -> Config:
     return Config()
+
+
+def resolve_max_instances(cfg: Config) -> int:
+    """Effective instance-axis pad size for training batches.
+
+    ``cfg.training.max_instances`` wins when set (> 0); otherwise auto by
+    training mode: kitti_mots pretrains on Mapillary which keeps up to 30
+    instances per image (reference ``mapillary_data_loader.py:20``), the
+    other modes mix COCO/YT-VIS whose crowded clips exceed 8 but rarely 16.
+    """
+    if cfg.training.max_instances > 0:
+        return cfg.training.max_instances
+    return 30 if cfg.training.mode == "kitti_mots" else 16
 
 
 def load_config(path_or_overrides, base: Optional[Config] = None) -> Config:

@@ -30,17 +30,20 @@ class PrefetchLoader:
 
     def __init__(self, dataset, batch_sampler, max_instances: int = 8,
                  min_dims: Optional[Tuple[int, int]] = None,
-                 num_workers: int = 4, prefetch_depth: int = 4):
+                 num_workers: int = 4, prefetch_depth: int = 4,
+                 overflow: str = "ignore"):
         self.dataset = dataset
         self.batch_sampler = batch_sampler
         self.max_instances = max_instances
         self.min_dims = min_dims
         self.num_workers = max(1, num_workers)
         self.prefetch_depth = max(1, prefetch_depth)
+        self.overflow = overflow
 
     def _build_batch(self, indices: List[int]):
         samples = [self.dataset[i] for i in indices]
-        return collate_fn(samples, self.max_instances, self.min_dims)
+        return collate_fn(samples, self.max_instances, self.min_dims,
+                          overflow=self.overflow)
 
     def __iter__(self) -> Iterator[dict]:
         idx_iter = iter(self.batch_sampler)

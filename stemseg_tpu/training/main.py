@@ -155,7 +155,12 @@ class Trainer:
             BatchSampler(sampler, self.global_batch),
             num_iterations=total_subiters,
             start_iter=self.elapsed_iterations * self.accumulate_steps)
-        return PrefetchLoader(dataset, batch_sampler, num_workers=num_workers)
+        from stemseg_tpu.config import resolve_max_instances
+
+        return PrefetchLoader(dataset, batch_sampler,
+                              max_instances=resolve_max_instances(self.cfg),
+                              overflow=self.cfg.training.instance_overflow,
+                              num_workers=num_workers)
 
     def start(self):
         import jax

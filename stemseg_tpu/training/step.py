@@ -84,13 +84,16 @@ def make_loss_fn(model: STEmSegModel, cfg: Config) -> Callable:
     def loss_fn(params, constants, batch):
         out = model.apply({"params": params, "constants": constants},
                           batch["images"])
+        # masks ship uint8 (4x smaller H2D); all loss math is float32
+        masks_f = batch["masks"].astype(jnp.float32)
+        ignore_f = batch["ignore_masks"].astype(jnp.float32)
         masks_ds, ignore_ds, semseg_labels = prepare_targets(
-            batch["masks"], batch["ignore_masks"], batch["category_ids"],
+            masks_f, ignore_f, batch["category_ids"],
             scale=target_scale) if target_scale > 1 else (
-            batch["masks"],
-            batch["ignore_masks"],
-            jnp.max(batch["masks"] * batch["category_ids"][:, :, None, None, None]
-                    .astype(batch["masks"].dtype), axis=1).astype(jnp.int32))
+            masks_f,
+            ignore_f,
+            jnp.max(masks_f * batch["category_ids"][:, :, None, None, None]
+                    .astype(jnp.float32), axis=1).astype(jnp.int32))
 
         emb_total, emb_terms = embedding_loss(
             out["embeddings"].astype(jnp.float32), masks_ds, ignore_ds, emb_params)

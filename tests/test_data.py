@@ -286,3 +286,85 @@ def test_visualize_data_loading_cli(tmp_path, tiny_cfg, monkeypatch):
     assert files == [f"{t:05d}.jpg" for t in range(4)]
     img = cv2.imread(os.path.join(out_dir, "sample_000", files[0]))
     assert img is not None and img.shape[2] == 3
+
+
+def _overflow_sample(n_inst, t=2, h=32, w=48):
+    """Synthetic sample dict with n_inst instances of strictly decreasing area."""
+    rng = np.random.RandomState(7)
+    masks = np.zeros((n_inst, t, h, w), np.uint8)
+    for i in range(n_inst):
+        side = max(1, 12 - i)  # instance i has area side^2 (decreasing)
+        y, x = 2 + (i % 4) * 7, 2 + (i // 4) * 11
+        masks[i, :, y:y + side, x:x + side] = 1
+    return {
+        "images": rng.randn(t, h, w, 3).astype(np.float32),
+        "masks": masks,
+        "ignore_masks": np.zeros((t, h, w), np.uint8),
+        "category_ids": np.arange(1, n_inst + 1, dtype=np.int32),
+        "orig_dims": (w, h),
+    }
+
+
+def test_collate_instance_overflow_policies():
+    """VERDICT r1 item 3: explicit overflow policy replaces drop-with-print.
+    'ignore' keeps the largest-area instances and folds the rest into the
+    ignore mask (Mapillary's own beyond-top-30 policy, reference
+    mapillary_data_loader.py:76-103)."""
+    from stemseg_tpu.data import collate_fn
+
+    s = _overflow_sample(6)
+
+    batch = collate_fn([s], max_instances=4, overflow="ignore")
+    assert batch["masks"].shape[1] == 4
+    assert batch["masks"].dtype == np.uint8
+    # largest 4 instances kept, in original order
+    assert list(batch["category_ids"][0]) == [1, 2, 3, 4]
+    # spilled instances' pixels land in the ignore mask
+    h, w = batch["masks"].shape[-2:]
+    spill = (s["masks"][4:].sum(axis=0) > 0)
+    ign = batch["ignore_masks"][0][:, :spill.shape[1], :spill.shape[2]]
+    assert (ign[spill] == 1).all()
+
+    batch = collate_fn([s], max_instances=4, overflow="drop")
+    assert batch["ignore_masks"].sum() == 0
+
+    with pytest.raises(ValueError):
+        collate_fn([s], max_instances=4, overflow="error")
+
+    # no-overflow samples are untouched by any policy
+    small = collate_fn([_overflow_sample(3)], max_instances=4, overflow="ignore")
+    assert list(small["category_ids"][0]) == [1, 2, 3, 0]
+
+
+def test_mapillary_30_instances_not_dropped():
+    """A 30-instance sample through the kitti_mots pretrain path loses
+    nothing (reference mapillary_data_loader.py:20 keeps 30), and samples
+    with different instance counts collate to ONE jit signature."""
+    from stemseg_tpu.config import load_config, resolve_max_instances
+    from stemseg_tpu.data import collate_fn
+
+    cfg = load_config({"training": {"mode": "kitti_mots"}})
+    cap = resolve_max_instances(cfg)
+    assert cap == 30
+
+    s30 = _overflow_sample(30)
+    s3 = _overflow_sample(3)
+    b30 = collate_fn([s30], max_instances=cap,
+                     overflow=cfg.training.instance_overflow)
+    b3 = collate_fn([s3], max_instances=cap,
+                    overflow=cfg.training.instance_overflow)
+    # zero dropped instances
+    assert (b30["category_ids"][0] == np.arange(1, 31)).all()
+    assert b30["ignore_masks"].sum() == 0
+    np.testing.assert_array_equal(
+        b30["masks"][0, :, :, :s30["masks"].shape[2], :s30["masks"].shape[3]],
+        s30["masks"])
+    # one static shape regardless of true instance count -> one jit signature
+    assert b30["masks"].shape == b3["masks"].shape
+    assert b30["category_ids"].shape == b3["category_ids"].shape
+
+    # explicit config override wins over the auto value
+    cfg2 = load_config({"training": {"mode": "kitti_mots", "max_instances": 12}})
+    assert resolve_max_instances(cfg2) == 12
+    # non-kitti modes auto to 16
+    assert resolve_max_instances(load_config({"training": {"mode": "davis"}})) == 16
