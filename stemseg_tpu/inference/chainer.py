@@ -91,6 +91,76 @@ def associate_labels(existing: np.ndarray, new: np.ndarray
     return [(int(ids1[r]), int(ids2[c])) for r, c in zip(rows, cols)]
 
 
+def fold_and_associate(jobs) -> Tuple[Dict[int, int], Dict[int, List[Tuple[int, int]]]]:
+    """Host-side phase 2 shared by OnlineChainer and the fused pipeline.
+
+    :param jobs: iterable of ``(window_idx, cand1, cand2, inter, n1, n2)``
+        where ``cand1`` / ``cand2`` are the RAW candidate id lists the
+        intersection matrix rows / cols correspond to (cand1 may be padded —
+        extra rows must have ``n1 == 0``), ``inter`` [len(cand1)+, len(cand2)]
+        pixel intersections on the overlap frames, ``n1`` / ``n2`` per-id
+        pixel counts there. Jobs MUST be in window order (identity chains
+        fold forward).
+    :return: (gmap raw id -> global id, associations per window)
+    """
+    gmap: Dict[int, int] = {}
+    assoc_by_window: Dict[int, List[Tuple[int, int]]] = {}
+
+    for i, cand1, cand2, inter, n1, n2 in jobs:
+        inter = np.asarray(inter)[:len(cand1)]
+        n1 = np.asarray(n1)[:len(cand1)]
+        n2 = np.asarray(n2)
+
+        # fold raw candidate rows into global track ids (intersections
+        # and counts are additive over disjoint chunk pixel sets)
+        global_rows: Dict[int, np.ndarray] = {}
+        global_counts: Dict[int, float] = {}
+        for r, raw in enumerate(cand1):
+            if n1[r] <= 0:
+                continue
+            g = gmap.get(raw, raw)
+            if g in global_rows:
+                global_rows[g] = global_rows[g] + inter[r]
+                global_counts[g] += float(n1[r])
+            else:
+                global_rows[g] = inter[r].copy()
+                global_counts[g] = float(n1[r])
+
+        present_new = [c for c, raw in enumerate(cand2) if n2[c] > 0]
+        if not global_rows or not present_new:
+            continue
+
+        g_ids = sorted(global_rows)
+        inter_g = np.stack([global_rows[g] for g in g_ids])[:, present_new]
+        ng = np.asarray([global_counts[g] for g in g_ids])
+        nn = n2[present_new]
+        union = ng[:, None] + nn[None, :] - inter_g
+        iou = np.where(union > 0, inter_g / np.maximum(union, 1.0), 0.0)
+
+        rows, cols = linear_sum_assignment(1.0 - iou)
+        assoc = [(g_ids[r], cand2[present_new[c]]) for r, c in zip(rows, cols)]
+        assoc_by_window[i] = assoc
+        for g, new_raw in assoc:
+            gmap[new_raw] = g
+    return gmap, assoc_by_window
+
+
+def track_stats(labels: np.ndarray) -> Tuple[Dict[int, int], Dict[int, int]]:
+    """Per-track pixel counts and lifetimes from a dense [T, H, W] label
+    volume (reference ``online_chainer.py:94-117``)."""
+    counts: Dict[int, int] = {}
+    first: Dict[int, int] = {}
+    last: Dict[int, int] = {}
+    for t in range(labels.shape[0]):
+        ids, cnt = np.unique(labels[t], return_counts=True)
+        for iid, c in zip(ids.tolist(), cnt.tolist()):
+            counts[iid] = counts.get(iid, 0) + c
+            first.setdefault(iid, t)
+            last[iid] = t
+    lifetimes = {iid: last[iid] - first[iid] for iid in counts}
+    return counts, lifetimes
+
+
 def relabel(labels: np.ndarray, associations: List[Tuple[int, int]]) -> np.ndarray:
     """Host-side rewrite of new-window ids to matched global ids."""
     out = labels.copy()
@@ -184,47 +254,10 @@ class OnlineChainer:
         # ONE batched transfer for every queued matrix (each individual
         # fetch is a full host<->device round trip)
         fetched = jax.device_get([(j[3], j[4], j[5]) for j in assoc_jobs])
-
-        # raw id -> global id (identity for unmatched ids)
-        gmap: Dict[int, int] = {}
-        assoc_by_window: Dict[int, List[Tuple[int, int]]] = {}
-
-        for (i, cand1, cand2, _, _, _), (inter, n1, n2) in zip(assoc_jobs, fetched):
-            inter = np.asarray(inter)[:len(cand1)]
-            n1 = np.asarray(n1)[:len(cand1)]
-            n2 = np.asarray(n2)
-
-            # fold raw candidate rows into global track ids (intersections
-            # and counts are additive over disjoint chunk pixel sets)
-            global_rows: Dict[int, np.ndarray] = {}
-            global_counts: Dict[int, float] = {}
-            for r, raw in enumerate(cand1):
-                if n1[r] <= 0:
-                    continue
-                g = gmap.get(raw, raw)
-                if g in global_rows:
-                    global_rows[g] = global_rows[g] + inter[r]
-                    global_counts[g] += float(n1[r])
-                else:
-                    global_rows[g] = inter[r].copy()
-                    global_counts[g] = float(n1[r])
-
-            present_new = [c for c, raw in enumerate(cand2) if n2[c] > 0]
-            if not global_rows or not present_new:
-                continue
-
-            g_ids = sorted(global_rows)
-            inter_g = np.stack([global_rows[g] for g in g_ids])[:, present_new]
-            ng = np.asarray([global_counts[g] for g in g_ids])
-            nn = n2[present_new]
-            union = ng[:, None] + nn[None, :] - inter_g
-            iou = np.where(union > 0, inter_g / np.maximum(union, 1.0), 0.0)
-
-            rows, cols = linear_sum_assignment(1.0 - iou)
-            assoc = [(g_ids[r], cand2[present_new[c]]) for r, c in zip(rows, cols)]
-            assoc_by_window[i] = assoc
-            for g, new_raw in assoc:
-                gmap[new_raw] = g
+        gmap, _ = fold_and_associate(
+            (i, cand1, cand2, inter, n1, n2)
+            for (i, cand1, cand2, _, _, _), (inter, n1, n2)
+            in zip(assoc_jobs, fetched))
 
         # ------------------ phase 3: relabel + gather ------------------
         final_rows: List[Optional[Tuple[jnp.ndarray, int]]] = [None] * num_frames
@@ -244,14 +277,5 @@ class OnlineChainer:
             [final_rows[t][0][final_rows[t][1]] for t in range(num_frames)])
         labels = np.asarray(stacked)  # ONE device->host transfer
 
-        counts: Dict[int, int] = {}
-        first: Dict[int, int] = {}
-        last: Dict[int, int] = {}
-        for t in range(num_frames):
-            ids, cnt = np.unique(labels[t], return_counts=True)
-            for iid, c in zip(ids.tolist(), cnt.tolist()):
-                counts[iid] = counts.get(iid, 0) + c
-                first.setdefault(iid, t)
-                last[iid] = t
-        lifetimes = {iid: last[iid] - first[iid] for iid in counts}
+        counts, lifetimes = track_stats(labels)
         return labels, counts, lifetimes, metas

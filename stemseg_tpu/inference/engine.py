@@ -44,6 +44,34 @@ from stemseg_tpu.models.fpn import FPN
 from stemseg_tpu.models.resnet import STAGE_SPECS, ResNet
 
 
+def derive_masks(mean, *, has_semseg: bool, semseg_output_type: str,
+                 seediness_fg_threshold: float):
+    """fg / multiclass masks from the per-frame window-averaged maps
+    (reference ``inference_model.py:196-231`` + ``inference/main.py:95-103``).
+
+    :param mean: [T, h, w, C] averaged semseg logits (or [T, h, w]
+        averaged seediness when there is no semseg head)
+    """
+    if not has_semseg:
+        # fg from window-averaged seediness (inference/main.py:95-103)
+        return mean > seediness_fg_threshold, None
+
+    n_ch = mean.shape[-1]
+    multiclass = None
+    if n_ch > 2:
+        mc_logits, fg_logits = mean[..., :-1], mean[..., -1]
+        if semseg_output_type == "logits":
+            multiclass = mc_logits
+        elif semseg_output_type == "probs":
+            multiclass = jax.nn.softmax(mc_logits, axis=-1)
+        elif semseg_output_type == "argmax":
+            multiclass = jnp.argmax(mc_logits, axis=-1)
+        fg_probs = jax.nn.sigmoid(fg_logits)
+    else:
+        fg_probs = jax.nn.softmax(mean, axis=-1)[..., 1]
+    return fg_probs > 0.5, multiclass
+
+
 class InferenceEngine:
     def __init__(self, cfg: Config, variables: Dict, dtype=None,
                  semseg_resize_scale: float = 1.0):
@@ -130,6 +158,26 @@ class InferenceEngine:
         ph, pw = pad_to_multiple(new_h, new_w)
         return jnp.pad(x, ((0, 0), (0, ph - new_h), (0, pw - new_w), (0, 0)))
 
+    def _backbone_features(self, batch,
+                           resize_hw: Optional[Tuple[int, int]] = None,
+                           variables: Optional[Dict] = None):
+        """Backbone + FPN on a batch of frames -> 4 feature maps, finest
+        first. ``batch`` is [K, H, W, 3] float32 preprocessed, or raw
+        [K, H0, W0, 3] uint8 with ``resize_hw`` for on-device preprocessing.
+
+        ``variables`` overrides the engine's own params/constants — the fused
+        pipeline passes them as jit ARGUMENTS (closure constants get embedded
+        in the serialized HLO, which the axon remote-compile service rejects
+        for a program carrying all R-101 weights)."""
+        params = variables["params"] if variables else self.params
+        constants = variables["constants"] if variables else self.constants
+        if resize_hw is not None:
+            batch = self._preprocess_on_device(batch, resize_hw)
+        feats = self.body.apply(
+            {"params": params["body"], "constants": constants["body"]},
+            batch)
+        return self.fpn.apply({"params": params["fpn"]}, feats)
+
     def _backbone_and_store(self, batch, rings, ring_pos,
                             resize_hw: Optional[Tuple[int, int]] = None):
         """Run the backbone+FPN on a window's new frames and scatter the 4
@@ -146,25 +194,21 @@ class InferenceEngine:
         :param rings: tuple of 4 ring buffers [R, h_s, w_s, C]
         :param ring_pos: [K] int32 ring rows to write
         """
-        if resize_hw is not None:
-            batch = self._preprocess_on_device(batch, resize_hw)
-        feats = self.body.apply(
-            {"params": self.params["body"], "constants": self.constants["body"]},
-            batch)
-        feats = self.fpn.apply({"params": self.params["fpn"]}, feats)
+        feats = self._backbone_features(batch, resize_hw)
         new_rings = tuple(ring.at[ring_pos].set(f.astype(ring.dtype))
                           for ring, f in zip(rings, feats))
         return new_rings
 
-    def _heads_forward(self, rings, ring_idx):
-        """Gather the window from the rings (traced indices — one compile for
-        all windows) and run the 3D heads — one dispatch per window."""
-        feats = tuple(ring[ring_idx] for ring in rings)  # finest first
-        coarsest_first = [f[None] for f in feats[::-1]]
-
+    def _heads_from_features(self, coarsest_first,
+                             variables: Optional[Dict] = None):
+        """3D heads on one window's feature pyramid (coarsest-first, each
+        [1, T, h_s, w_s, C]) -> (embeddings, bandwidths·exp·10, seediness,
+        semseg logits or None), all [T, h, w, ...] at the 4x scale."""
+        params = variables["params"] if variables else self.params
+        constants = variables["constants"] if variables else self.constants
         emb_out = self.embedding_head.apply(
-            {"params": self.params["embedding_head"],
-             "constants": self.constants["embedding_head"]},
+            {"params": params["embedding_head"],
+             "constants": constants["embedding_head"]},
             coarsest_first)[0]  # [T, h, w, C]
 
         e, v = self.embedding_size, self.variance_channels
@@ -174,12 +218,12 @@ class InferenceEngine:
             seediness = emb_out[..., e + v]
         else:
             seediness = self.seediness_head.apply(
-                {"params": self.params["seediness_head"]}, coarsest_first)[0][..., 0]
+                {"params": params["seediness_head"]}, coarsest_first)[0][..., 0]
 
         semseg_logits = None
         if self.semseg_head is not None:
             semseg_logits = self.semseg_head.apply(
-                {"params": self.params["semseg_head"]}, coarsest_first)[0]
+                {"params": params["semseg_head"]}, coarsest_first)[0]
             if self.semseg_resize_scale != 1.0:
                 from stemseg_tpu.models.layers import upsample_trilinear
 
@@ -187,6 +231,13 @@ class InferenceEngine:
                 semseg_logits = upsample_trilinear(semseg_logits[None], (1.0, s, s))[0]
 
         return embeddings, bandwidths, seediness, semseg_logits
+
+    def _heads_forward(self, rings, ring_idx):
+        """Gather the window from the rings (traced indices — one compile for
+        all windows) and run the 3D heads — one dispatch per window."""
+        feats = tuple(ring[ring_idx] for ring in rings)  # finest first
+        coarsest_first = [f[None] for f in feats[::-1]]
+        return self._heads_from_features(coarsest_first)
 
     @functools.partial(jax.jit, static_argnums=(0, 3, 4, 5))
     def _finalize(self, stacked_maps, flat_idx, t_pad: int,
@@ -208,25 +259,9 @@ class InferenceEngine:
         cnt = cnt.at[flat_idx].add(1.0)
         mean = acc / jnp.maximum(cnt, 1.0).reshape(
             (t_pad,) + (1,) * (acc.ndim - 1))
-
-        if self.semseg_head is None:
-            # fg from window-averaged seediness (inference/main.py:95-103)
-            return mean > seediness_fg_threshold, None
-
-        n_ch = mean.shape[-1]
-        multiclass = None
-        if n_ch > 2:
-            mc_logits, fg_logits = mean[..., :-1], mean[..., -1]
-            if semseg_output_type == "logits":
-                multiclass = mc_logits
-            elif semseg_output_type == "probs":
-                multiclass = jax.nn.softmax(mc_logits, axis=-1)
-            elif semseg_output_type == "argmax":
-                multiclass = jnp.argmax(mc_logits, axis=-1)
-            fg_probs = jax.nn.sigmoid(fg_logits)
-        else:
-            fg_probs = jax.nn.softmax(mean, axis=-1)[..., 1]
-        return fg_probs > 0.5, multiclass
+        return derive_masks(mean, has_semseg=self.semseg_head is not None,
+                            semseg_output_type=semseg_output_type,
+                            seediness_fg_threshold=seediness_fg_threshold)
 
     # ------------------------------------------------------------------
     # streaming driver

@@ -1,0 +1,469 @@
+"""One-jit sequence inference: the ENTIRE per-sequence pipeline — sliding-
+window backbone, 3D heads, overlapping-window semseg averaging, per-window
+clustering, and the chainer's intersection matmuls — compiled into a single
+XLA program (two ``lax.scan``s over the static window schedule).
+
+Behavioral reference: ``/root/reference/stemseg/modeling/inference_model.py``
+(:83-186, streaming forward) + ``inference/online_chainer.py`` (:120-343,
+stitching). The per-window streaming path (``engine.infer_sequence`` +
+``chainer.OnlineChainer``) dispatches ~10 device ops per window; through the
+axon tunnel (~0.67 ms per executed op, ~35 ms per round trip) that overhead
+is comparable to the window's compute. This module leaves THREE host
+round-trips per sequence regardless of length:
+
+1. ship raw uint8 frames H2D and dispatch the fused graph;
+2. fetch the queued intersection matrices, run the Hungarian association on
+   the host (tiny), dispatch the one-gather relabel;
+3. fetch final labels + fg + multiclass masks in one batched transfer.
+
+Graph structure (per compile bucket):
+
+* prelude: backbone+FPN on window 0's T frames -> feature rings
+  (rows assigned statically: ``frame % 2T`` — any two live frames are
+  < 2T apart, see ring-liveness note in ``_build_schedule``);
+* scan A over windows: backbone on the ≤stride NEW frames, ring write,
+  heads on the T gathered rows, scatter-add semseg logits into per-frame
+  accumulators; emits (embeddings, bandwidths, seediness) per window;
+* fg/multiclass from the accumulated means (``engine.derive_masks``);
+* scan B over windows: (optional 4x upsample +) clustering in the window's
+  disjoint raw id block, commit of newly-seen frames into a dense
+  ``committed`` label volume, and the one-hot intersection matmul between
+  the committed labels and the new labels on the overlap frames — the
+  look-back candidate band is provably sufficient (``_build_schedule``).
+
+Compile buckets: sequence length L is bucketed (multiple of 16) and the
+window count W to a multiple of 4; padded windows are skipped at runtime
+via ``lax.cond`` so they cost ~nothing. Short sequences (< T frames, with
+duplicated frame 0) fall back to the streaming path in the caller.
+
+Parity: produces bit-identical label volumes to
+``OnlineChainer.process`` over ``engine.infer_sequence`` outputs (same raw
+id blocks, same fold/Hungarian on the same matrices — shared
+``fold_and_associate``); asserted by ``tests/test_fused_pipeline.py``.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from stemseg_tpu.inference.chainer import fold_and_associate, track_stats
+from stemseg_tpu.inference.clustering import ClusterParams, _cluster_window_jit
+from stemseg_tpu.inference.engine import InferenceEngine, derive_masks
+
+
+class _Schedule:
+    """Static per-sequence schedule arrays (all numpy, shipped as traced
+    inputs so one compile covers every sequence in the same bucket)."""
+
+    def __init__(self, windows: List[List[int]], t_total: int, k: int,
+                 l_pad: int, w_pad: int):
+        w_real = len(windows)
+        t_win = len(windows[0])
+        ring = 2 * t_win
+        self.ring_rows = ring + 1           # +1 trash row
+        self.trash_row = ring
+        self.t_win = t_win
+        self.w_real = w_real
+        self.w_pad = w_pad
+        self.l_pad = l_pad
+        self.k = k
+
+        # per-window new frames (frames not seen in any earlier window)
+        seen: set = set()
+        new_per_win: List[List[int]] = []
+        for win in windows:
+            new = [t for t in win if t not in seen]
+            seen.update(new)
+            new_per_win.append(new)
+        assert new_per_win[0] == list(windows[0]), "window 0 must be all-new"
+
+        # scan A processes windows 0..W-1; window 0's T frames are computed
+        # by the prelude, so its scan slot recomputes nothing (all trash)
+        s = max((len(n) for n in new_per_win[1:]), default=1)
+        s = max(s, 1)
+        self.s_new = s
+
+        def pad_list(lst, n, fill):
+            return list(lst) + [fill] * (n - len(lst))
+
+        new_ids = []      # [W, S] frame to read (0 for trash slots)
+        write_rows = []   # [W, S] ring row to write (trash for slots unused)
+        gather_rows = []  # [W, T] ring rows for the heads gather
+        scatter_tgt = []  # [W, T] semseg scatter frame (l_pad = trash)
+        commit_tgt = []   # [W, T] committed-volume row (l_pad = trash)
+        win_frames = []   # [W, T] frame ids (fg gather / committed gather)
+        overlap_msk = []  # [W, T] 1.0 where frame shared with previous window
+        is_real = []      # [W]
+
+        committed_frames: set = set()
+        prev = None
+        # look-back band: windows whose raw ids can appear on overlap frames
+        self.lookback = 1
+        for i in range(w_pad):
+            if i < w_real:
+                win = windows[i]
+                new = new_per_win[i] if i > 0 else []
+                win_frames.append(list(win))
+                gather_rows.append([t % ring for t in win])
+                new_ids.append(pad_list(new, s, 0))
+                write_rows.append(pad_list([t % ring for t in new], s,
+                                           self.trash_row))
+                scatter_tgt.append(list(win))
+                commit_tgt.append([t if t in new_per_win[i] else l_pad
+                                   for t in win])
+                if i == 0:
+                    overlap_msk.append([0.0] * t_win)
+                else:
+                    prev_set = set(prev)
+                    overlap_msk.append([1.0 if t in prev_set else 0.0
+                                        for t in win])
+                    # committing window of each overlap frame bounds look-back
+                    for t in win:
+                        if t in prev_set:
+                            self.lookback = max(self.lookback,
+                                                i - committed_by[t])
+                is_real.append(True)
+                if i == 0:
+                    committed_by = {t: 0 for t in win}
+                else:
+                    for t in new_per_win[i]:
+                        committed_by[t] = i
+                prev = win
+            else:  # padded window — fully skipped at runtime
+                win_frames.append([0] * t_win)
+                gather_rows.append([0] * t_win)
+                new_ids.append([0] * s)
+                write_rows.append([self.trash_row] * s)
+                scatter_tgt.append([l_pad] * t_win)
+                commit_tgt.append([l_pad] * t_win)
+                overlap_msk.append([0.0] * t_win)
+                is_real.append(False)
+
+        i32 = np.int32
+        self.new_ids = np.asarray(new_ids, i32)
+        self.write_rows = np.asarray(write_rows, i32)
+        self.gather_rows = np.asarray(gather_rows, i32)
+        self.scatter_tgt = np.asarray(scatter_tgt, i32)
+        self.commit_tgt = np.asarray(commit_tgt, i32)
+        self.win_frames = np.asarray(win_frames, i32)
+        self.overlap_msk = np.asarray(overlap_msk, np.float32)
+        self.is_real = np.asarray(is_real, bool)
+        self.label_base = np.asarray([1 + i * k for i in range(w_pad)], i32)
+        # candidate band start per window (ids below never on overlap frames)
+        self.cand_base = np.asarray(
+            [1 + (i - self.lookback) * k for i in range(w_pad)], i32)
+
+    def as_xs(self) -> Dict[str, np.ndarray]:
+        return {
+            "new_ids": self.new_ids,
+            "write_rows": self.write_rows,
+            "gather_rows": self.gather_rows,
+            "scatter_tgt": self.scatter_tgt,
+            "commit_tgt": self.commit_tgt,
+            "win_frames": self.win_frames,
+            "overlap_msk": self.overlap_msk,
+            "is_real": self.is_real,
+            "label_base": self.label_base,
+            "cand_base": self.cand_base,
+        }
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+class FusedSequencePipeline:
+    """Drives the fused graph; host-side association between the two fetches.
+
+    :param engine: InferenceEngine (provides model modules + params)
+    :param cluster_params: ClusterParams
+    :param cluster_full_scale: 4x-upsample embeddings before clustering (the
+        reference's --resize_embeddings path, ``online_chainer.py:127-140``);
+        requires the engine built with ``semseg_resize_scale=4``
+    :param backend: clustering backend ('auto' | 'pallas' | 'xla')
+    """
+
+    LOOKBACK_PAD = 8  # candidate band padded to a multiple (jit signatures)
+
+    def __init__(self, engine: InferenceEngine, cluster_params: ClusterParams,
+                 cluster_full_scale: bool = False, backend: str = "auto"):
+        self.engine = engine
+        self.cluster_params = cluster_params
+        self.cluster_full_scale = cluster_full_scale
+        self.backend = backend
+        self._fused = jax.jit(
+            self._fused_graph,
+            static_argnames=("resize_hw", "semseg_output_type",
+                             "seediness_fg_threshold", "backend", "shape_key",
+                             "band"))
+
+    # ------------------------------------------------------------------
+
+    def _cluster_backend(self, p_points: int) -> str:
+        if self.backend != "auto":
+            return self.backend
+        from stemseg_tpu.ops import pallas_clustering_supported
+
+        return "pallas" if pallas_clustering_supported(
+            p_points, self.cluster_params.max_instances,
+            e_dims=self.engine.embedding_size) else "xla"
+
+    def _fused_graph(self, variables, frames, xs, *, resize_hw,
+                     semseg_output_type, seediness_fg_threshold, backend,
+                     shape_key, band):
+        """The whole sequence pipeline as one traced program.
+
+        :param variables: {params, constants} — passed as jit ARGUMENTS (a
+            closure would embed all weights as constants into the serialized
+            HLO, overflowing the axon remote-compile request limit)
+        :param frames: [L_pad, H0, W0, 3] uint8 raw (resize_hw given) or
+            [L_pad, H, W, 3] float32 preprocessed
+        :param xs: schedule arrays (dict of [W_pad, ...])
+        :param shape_key: (l_pad, w_pad, t_win, ring_rows) — static
+        """
+        eng = self.engine
+        l_pad, w_pad, t_win, ring_rows = shape_key
+
+        if resize_hw is not None:
+            from stemseg_tpu.structures.geometry import pad_to_multiple
+
+            ph, pw = pad_to_multiple(*resize_hw)
+        else:
+            ph, pw = frames.shape[1], frames.shape[2]
+
+        scales = (4, 8, 16, 32)
+        c = eng.cfg.model.resnets.backbone_out_channels
+        rings = tuple(jnp.zeros((ring_rows, ph // s, pw // s, c), jnp.float32)
+                      for s in scales)
+
+        # ---------- prelude: window 0's T frames ----------
+        first_win = xs["win_frames"][0]
+        feats0 = eng._backbone_features(frames[first_win], resize_hw,
+                                        variables=variables)
+        rows0 = xs["gather_rows"][0]
+        rings = tuple(r.at[rows0].set(f.astype(r.dtype))
+                      for r, f in zip(rings, feats0))
+
+        # semseg accumulator dims (4x head scale x optional resize); without
+        # a semseg head the accumulated map is the (unresized) seediness
+        if eng.semseg_head is not None:
+            ss = eng.semseg_resize_scale
+            h_m, w_m = int(ph // 4 * ss), int(pw // 4 * ss)
+            n_map_ch = eng.cfg.input.num_classes + (
+                1 if eng.semseg_head.foreground_channel else 0)
+            acc0 = jnp.zeros((l_pad + 1, h_m, w_m, n_map_ch), jnp.float32)
+        else:
+            assert not self.cluster_full_scale, \
+                "full-scale clustering requires the semseg head's fg masks"
+            h_m, w_m = ph // 4, pw // 4
+            acc0 = jnp.zeros((l_pad + 1, h_m, w_m), jnp.float32)
+        cnt0 = jnp.zeros((l_pad + 1,), jnp.float32)
+
+        e_dim = eng.embedding_size
+        v_dim = eng.variance_channels
+        h4, w4 = ph // 4, pw // 4
+
+        def scan_a(carry, x):
+            rings, acc, cnt = carry
+
+            def real(args):
+                rings, acc, cnt = args
+                batch = frames[x["new_ids"]]
+                feats = eng._backbone_features(batch, resize_hw,
+                                               variables=variables)
+                rings = tuple(r.at[x["write_rows"]].set(f.astype(r.dtype))
+                              for r, f in zip(rings, feats))
+                window = tuple(r[x["gather_rows"]] for r in rings)
+                coarsest_first = [f[None] for f in window[::-1]]
+                emb, bw, seed, semseg = eng._heads_from_features(
+                    coarsest_first, variables=variables)
+                wmap = semseg if eng.semseg_head is not None else seed
+                acc = acc.at[x["scatter_tgt"]].add(wmap.astype(jnp.float32))
+                cnt = cnt.at[x["scatter_tgt"]].add(1.0)
+                return (rings, acc, cnt), (emb, bw, seed)
+
+            def skip(args):
+                rings, acc, cnt = args
+                z = lambda shape: jnp.zeros(shape, jnp.float32)
+                return (rings, acc, cnt), (z((t_win, h4, w4, e_dim)),
+                                           z((t_win, h4, w4, v_dim)),
+                                           z((t_win, h4, w4)))
+
+            (rings, acc, cnt), ys = jax.lax.cond(
+                x["is_real"], real, skip, (rings, acc, cnt))
+            return (rings, acc, cnt), ys
+
+        (_, acc, cnt), (embs, bws, seeds) = jax.lax.scan(
+            scan_a, (rings, acc0, cnt0), jax.tree.map(jnp.asarray, xs))
+
+        mean = acc / jnp.maximum(cnt, 1.0).reshape(
+            (l_pad + 1,) + (1,) * (acc.ndim - 1))
+        fg_masks, multiclass = derive_masks(
+            mean, has_semseg=eng.semseg_head is not None,
+            semseg_output_type=semseg_output_type,
+            seediness_fg_threshold=seediness_fg_threshold)
+
+        # ---------- scan B: cluster + commit + intersections ----------
+        k = self.cluster_params.max_instances
+        h_c, w_c = (h4 * 4, w4 * 4) if self.cluster_full_scale else (h4, w4)
+        committed0 = jnp.full((l_pad + 1, h_c, w_c), -1, jnp.int32)
+
+        k_iota = jnp.arange(k, dtype=jnp.int32)
+        band_iota = jnp.arange(band, dtype=jnp.int32)
+
+        def scan_b(committed, x):
+            def real(committed):
+                emb = embs[x["i"]]
+                bw = bws[x["i"]]
+                seed = seeds[x["i"]]
+                if self.cluster_full_scale:
+                    from stemseg_tpu.models.layers import upsample_trilinear
+
+                    emb = upsample_trilinear(emb[None], (1.0, 4.0, 4.0))[0]
+                    bw = upsample_trilinear(bw[None], (1.0, 4.0, 4.0))[0]
+                    seed = upsample_trilinear(
+                        seed[None, ..., None], (1.0, 4.0, 4.0))[0, ..., 0]
+                fg_win = fg_masks[x["win_frames"]]
+                res = _cluster_window_jit(emb, bw, seed, fg_win,
+                                          x["label_base"],
+                                          self.cluster_params, backend)
+                labels = res.labels  # [T, h_c, w_c] raw global ids
+
+                existing = committed[x["win_frames"]]
+                ov = x["overlap_msk"][:, None, None] > 0.5
+                a = jnp.where(ov, existing, -7).reshape(-1)
+                b = jnp.where(ov, labels, -7).reshape(-1)
+                cand1 = jnp.maximum(x["cand_base"] + band_iota, 0)
+                cand2 = x["label_base"] + k_iota
+                oh1 = (a[None, :] == cand1[:, None]).astype(jnp.float32)
+                oh2 = (b[None, :] == cand2[:, None]).astype(jnp.float32)
+                inter = jax.lax.dot_general(
+                    oh1, oh2, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                n1 = jnp.sum(oh1, axis=1)
+                n2 = jnp.sum(oh2, axis=1)
+
+                committed = committed.at[x["commit_tgt"]].set(labels)
+                return committed, (inter, n1, n2, res.centers, res.bandwidths,
+                                   res.valid, res.seed_probs)
+
+            def skip(committed):
+                e_full = self.engine.embedding_size
+                return committed, (jnp.zeros((band, k), jnp.float32),
+                                   jnp.zeros((band,), jnp.float32),
+                                   jnp.zeros((k,), jnp.float32),
+                                   jnp.zeros((k, e_full), jnp.float32),
+                                   jnp.zeros((k, e_full), jnp.float32),
+                                   jnp.zeros((k,), bool),
+                                   jnp.zeros((k,), jnp.float32))
+
+            return jax.lax.cond(x["is_real"], real, skip, committed)
+
+        xs_b = {key: jnp.asarray(xs[key]) for key in
+                ("win_frames", "overlap_msk", "commit_tgt", "is_real",
+                 "label_base", "cand_base")}
+        xs_b["i"] = jnp.arange(w_pad, dtype=jnp.int32)
+        committed, (inters, n1s, n2s, centers, cbws, valids, seedps) = \
+            jax.lax.scan(scan_b, committed0, xs_b)
+
+        return {
+            "fg_masks": fg_masks[:l_pad],
+            "multiclass_masks": multiclass[:l_pad] if multiclass is not None
+            else None,
+            "committed": committed,
+            "inters": inters, "n1s": n1s, "n2s": n2s,
+            "centers": centers, "cluster_bandwidths": cbws,
+            "valids": valids, "seed_probs": seedps,
+        }
+
+    # ------------------------------------------------------------------
+
+    @functools.partial(jax.jit, static_argnums=(0,))
+    def _apply_lut(self, committed, lut):
+        """committed raw ids -> global track ids; one gather dispatch."""
+        return lut[committed + 1]
+
+    def run(self, frames: np.ndarray, windows: List[List[int]],
+            seediness_fg_threshold: float = 0.25,
+            semseg_output_type: str = "probs",
+            resize_hw: Optional[Tuple[int, int]] = None):
+        """Full pipeline for one sequence.
+
+        :param frames: [T_total, H0, W0, 3] uint8 raw (with resize_hw) or
+            float32 preprocessed /32-padded frames
+        :param windows: schedule from ``get_subsequence_frames`` — must have
+            no duplicate frames (sequences >= T; callers fall back to the
+            streaming path otherwise)
+        :return: (labels [T, h_c, w_c] int32 np, counts, lifetimes,
+                  fg_masks np, multiclass np or None)
+        """
+        t_total = frames.shape[0]
+        w_real = len(windows)
+        assert all(len(set(w)) == len(w) for w in windows), \
+            "fused path requires duplicate-free windows (use streaming path)"
+
+        k = self.cluster_params.max_instances
+        l_pad = _round_up(t_total, 16)
+        w_pad = _round_up(w_real, 4)
+        sched = _Schedule(windows, t_total, k, l_pad, w_pad)
+        band = _round_up(k * sched.lookback, self.LOOKBACK_PAD)
+
+        if frames.shape[0] != l_pad:
+            pad = np.zeros((l_pad - t_total,) + frames.shape[1:], frames.dtype)
+            frames = np.concatenate([frames, pad], axis=0)
+
+        shape_key = (l_pad, w_pad, sched.t_win, sched.ring_rows)
+        if resize_hw is not None:
+            from stemseg_tpu.structures.geometry import pad_to_multiple
+
+            ph, pw = pad_to_multiple(*resize_hw)
+        else:
+            ph, pw = frames.shape[1], frames.shape[2]
+        scale = 1 if self.cluster_full_scale else 4
+        p_points = sched.t_win * (ph // scale) * (pw // scale)
+        backend = self._cluster_backend(p_points)
+
+        variables = {"params": self.engine.params,
+                     "constants": self.engine.constants}
+        out = self._fused(variables, jnp.asarray(frames), sched.as_xs(),
+                          resize_hw=resize_hw,
+                          semseg_output_type=semseg_output_type,
+                          seediness_fg_threshold=seediness_fg_threshold,
+                          backend=backend, shape_key=shape_key, band=band)
+
+        # ---- round trip 1: intersection matrices -> association ----
+        inters, n1s, n2s = jax.device_get((out["inters"], out["n1s"],
+                                           out["n2s"]))
+        jobs = []
+        for i in range(1, w_real):
+            cand1 = [max(0, 1 + (i - sched.lookback) * k + m)
+                     for m in range(band)]
+            cand2 = list(range(1 + i * k, 1 + (i + 1) * k))
+            jobs.append((i, cand1, cand2, inters[i], n1s[i], n2s[i]))
+        gmap, _ = fold_and_associate(jobs)
+
+        lut = np.arange(-1, w_pad * k + 1, dtype=np.int32)  # identity
+        for raw, g in gmap.items():
+            # chase chains (gmap folds forward already, but stay safe)
+            while g in gmap:
+                g = gmap[g]
+            lut[raw + 1] = g
+        labels_dev = self._apply_lut(out["committed"], jnp.asarray(lut))
+
+        # ---- round trip 2: final volumes ----
+        fetch = [labels_dev, out["fg_masks"]]
+        if out["multiclass_masks"] is not None:
+            fetch.append(out["multiclass_masks"])
+        fetched = jax.device_get(fetch)
+        labels = np.asarray(fetched[0])[:t_total]
+        fg = np.asarray(fetched[1])[:t_total]
+        multiclass = (np.asarray(fetched[2])[:t_total]
+                      if out["multiclass_masks"] is not None else None)
+
+        counts, lifetimes = track_stats(labels)
+        return labels, counts, lifetimes, fg, multiclass

@@ -102,7 +102,8 @@ class TrackGenerator:
     def __init__(self, cfg, dataset: str, variables, output_generator,
                  max_tracks: int, seediness_thresh: float = 0.25,
                  frame_overlap: int = -1, resize_embeddings: bool = False,
-                 cpu_workers: int = 4):
+                 cpu_workers: int = 4, use_fused: bool = True,
+                 bf16: bool = False):
         import jax.numpy as jnp
 
         from stemseg_tpu.inference.clustering import ClusterParams, cluster_window
@@ -131,7 +132,7 @@ class TrackGenerator:
             dataset, "probs")
 
         self.engine = InferenceEngine(
-            cfg, variables,
+            cfg, variables, dtype=jnp.bfloat16 if bf16 else None,
             semseg_resize_scale=4.0 if self.cluster_full_scale else 1.0)
 
         ccfg = cfg.clustering
@@ -159,6 +160,16 @@ class TrackGenerator:
 
         self.chainer = OnlineChainer(cluster_fn,
                                      max_instances=ccfg.max_instances)
+
+        # fused one-jit path: backbone+heads+clustering+intersections for the
+        # whole sequence in ONE dispatch (<=3 host round trips) — used for
+        # every sequence with >= NUM_FRAMES frames; shorter sequences (with
+        # front-padded duplicate frames) take the streaming path above
+        from stemseg_tpu.inference.fused_pipeline import FusedSequencePipeline
+
+        self.fused = FusedSequencePipeline(
+            self.engine, self.cluster_params,
+            cluster_full_scale=self.cluster_full_scale) if use_fused else None
         self.total_frames_processed = 0
 
     # ------------------------------------------------------------------
@@ -202,17 +213,40 @@ class TrackGenerator:
         fg_masks = np.asarray(out["fg_masks"])
         return self.chainer.process(fg_masks, out["windows"])
 
+    @Timer.log_duration("inference")
+    def do_fused(self, frames, image_hw):
+        """One-dispatch path: the fused graph folds the clustering and
+        stitching matmuls into the model graph, so the whole run is logged
+        under the 'inference' timer ('postprocessing' stays ~0 — the
+        per-stage split of the reference fps report does not exist here,
+        only the overall fps is comparable)."""
+        from stemseg_tpu.inference.windows import get_subsequence_frames
+        from stemseg_tpu.structures.geometry import compute_resize_params
+
+        h0, w0 = image_hw
+        new_w, new_h, _ = compute_resize_params(
+            (w0, h0), self.cfg.input.min_dim, self.cfg.input.max_dim)
+        windows, _ = get_subsequence_frames(
+            frames.shape[0], self.cfg.input.num_frames, self.frame_overlap)
+        return self.fused.run(
+            frames, windows, seediness_fg_threshold=self.seediness_thresh,
+            semseg_output_type=self.semseg_output_type,
+            resize_hw=(new_h, new_w))
+
     def process_sequence(self, sequence, max_tracks: int):
         frames, image_hw = self._load_frames(sequence)
         self._process_loaded(sequence, frames, image_hw, max_tracks)
 
     def _process_loaded(self, sequence, frames, image_hw, max_tracks: int):
-        out = self.do_inference(frames, image_hw)
-        labels, counts, lifetimes, _ = self.do_clustering(out)
-
-        category_masks = out["multiclass_masks"]
-        if category_masks is not None:
-            category_masks = np.asarray(category_masks)
+        if self.fused is not None and frames.shape[0] >= self.cfg.input.num_frames:
+            labels, counts, lifetimes, _, category_masks = self.do_fused(
+                frames, image_hw)
+        else:
+            out = self.do_inference(frames, image_hw)
+            labels, counts, lifetimes, _ = self.do_clustering(out)
+            category_masks = out["multiclass_masks"]
+            if category_masks is not None:
+                category_masks = np.asarray(category_masks)
 
         self.output_generator.process_sequence(
             sequence, labels, counts, lifetimes, category_masks,
@@ -264,6 +298,9 @@ def main(argv=None):
     parser.add_argument("--resize_embeddings", action="store_true")
     parser.add_argument("--min_seediness_prob", "-msp", type=float, required=False)
     parser.add_argument("--save_vis", action="store_true")
+    parser.add_argument("--bf16", action="store_true",
+                        help="run the model forward in bfloat16 (params stay "
+                             "fp32; clustering/averaging stay fp32)")
     args = parser.parse_args(argv)
 
     cfg = load_inference_cfg(args.model_path, args.dataset, args.min_dim,
@@ -319,7 +356,8 @@ def main(argv=None):
         cfg, args.dataset, variables, output_generator, max_tracks,
         seediness_thresh=args.seediness_thresh,
         frame_overlap=args.frame_overlap,
-        resize_embeddings=args.resize_embeddings)
+        resize_embeddings=args.resize_embeddings,
+        bf16=args.bf16)
 
     generator.start(sequences, args.seqs)
     output_generator.save()

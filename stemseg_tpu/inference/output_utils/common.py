@@ -65,6 +65,27 @@ def masks_to_original_dims(masks, mask_scale: int, image_dims: Tuple[int, int],
                                    upscaled_inputs)
 
 
+def mask_resize_floats(masks, mask_scale: int, image_dims: Tuple[int, int],
+                       min_dim: int, max_dim: int,
+                       upscaled_inputs: bool = False) -> np.ndarray:
+    """The PRE-threshold float maps of ``masks_to_original_dims`` — used by
+    the golden-diff tests to prove that any pixel disagreeing with the
+    reference sits exactly on the 0.5 knife edge (where torch's and XLA's
+    last-ULP rounding legitimately differ)."""
+    image_height, image_width = image_dims
+    resized_w, resized_h, _ = compute_resize_params((image_width, image_height),
+                                                    min_dim, max_dim)
+    k, h, w = masks.shape
+    x = jnp.asarray(masks).astype(jnp.float32)
+    if not upscaled_inputs:
+        x = jax.image.resize(x, (k, h * mask_scale, w * mask_scale),
+                             method="linear", antialias=False)
+    x = x[:, :resized_h, :resized_w]
+    x = jax.image.resize(x, (k, image_height, image_width), method="linear",
+                         antialias=False)
+    return np.asarray(x)
+
+
 def select_instances_to_keep(instance_lifetimes: Dict[int, int],
                              outlier_label: int, max_tracks: int,
                              by: str = "lifetime",

@@ -1,0 +1,151 @@
+"""Fused one-jit sequence pipeline vs the streaming engine+chainer path:
+identical fg/multiclass masks and BIT-IDENTICAL label volumes (same raw id
+blocks, shared association fold — see fused_pipeline.py docstring)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from stemseg_tpu.config import load_config
+from stemseg_tpu.inference import get_subsequence_frames
+from stemseg_tpu.inference.chainer import OnlineChainer
+from stemseg_tpu.inference.clustering import ClusterParams, cluster_window
+from stemseg_tpu.inference.engine import InferenceEngine
+from stemseg_tpu.inference.fused_pipeline import FusedSequencePipeline
+from stemseg_tpu.models import build_model
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = load_config({
+        "input": {"num_frames": 4, "num_classes": 2},
+        "model": {"backbone": {"type": "R-50-FPN"}},
+        # loose thresholds so random weights still produce clusters
+        "clustering": {"min_seediness_prob": 0.3, "max_instances": 5},
+    })
+    model = build_model(cfg, for_training=False)
+    rng = np.random.RandomState(0)
+    frames = (rng.randn(11, 64, 96, 3) * 30).astype(np.float32)
+    variables = model.init(jax.random.PRNGKey(0), jnp.asarray(frames[None, :4]))
+    return cfg, model, variables, frames
+
+
+def _params(cfg):
+    c = cfg.clustering
+    return ClusterParams(
+        primary_prob_thresh=c.primary_prob_threshold,
+        secondary_prob_thresh=c.secondary_prob_threshold,
+        min_seediness_prob=c.min_seediness_prob,
+        max_instances=c.max_instances)
+
+
+def _streaming(cfg, variables, frames, windows, params, full_scale=False,
+               semseg_output_type="probs", resize_hw=None):
+    engine = InferenceEngine(cfg, variables,
+                             semseg_resize_scale=4.0 if full_scale else 1.0)
+    out = engine.infer_sequence(frames, windows,
+                                semseg_output_type=semseg_output_type,
+                                resize_hw=resize_hw)
+
+    def cluster_fn(emb, bw, seed, fg, start):
+        if full_scale:
+            from stemseg_tpu.models.layers import upsample_trilinear
+
+            emb = upsample_trilinear(emb[None], (1.0, 4.0, 4.0))[0]
+            bw = upsample_trilinear(bw[None], (1.0, 4.0, 4.0))[0]
+            seed = upsample_trilinear(seed[None, ..., None],
+                                      (1.0, 4.0, 4.0))[0, ..., 0]
+        return cluster_window(emb, bw, seed, fg, params, start, backend="xla")
+
+    chainer = OnlineChainer(cluster_fn, max_instances=params.max_instances)
+    labels, counts, lifetimes, _ = chainer.process(out["fg_masks"],
+                                                   out["windows"])
+    mc = out["multiclass_masks"]
+    return labels, counts, lifetimes, np.asarray(out["fg_masks"]), (
+        np.asarray(mc) if mc is not None else None)
+
+
+def _fused(cfg, variables, frames, windows, params, full_scale=False,
+           semseg_output_type="probs", resize_hw=None):
+    engine = InferenceEngine(cfg, variables,
+                             semseg_resize_scale=4.0 if full_scale else 1.0)
+    pipe = FusedSequencePipeline(engine, params, cluster_full_scale=full_scale,
+                                 backend="xla")
+    return pipe.run(frames, windows, semseg_output_type=semseg_output_type,
+                    resize_hw=resize_hw)
+
+
+def test_fused_matches_streaming(setup):
+    cfg, model, variables, frames = setup
+    windows, _ = get_subsequence_frames(len(frames), 4, 2)
+    params = _params(cfg)
+
+    s_labels, s_counts, s_lifetimes, s_fg, s_mc = _streaming(
+        cfg, variables, frames, windows, params)
+    f_labels, f_counts, f_lifetimes, f_fg, f_mc = _fused(
+        cfg, variables, frames, windows, params)
+
+    np.testing.assert_array_equal(s_fg, f_fg)
+    np.testing.assert_allclose(s_mc, f_mc, rtol=1e-5, atol=1e-6)
+    assert s_fg.sum() > 0, "degenerate test: no foreground produced"
+    assert len(s_counts) > 1, "degenerate test: no clusters produced"
+    np.testing.assert_array_equal(s_labels, f_labels)
+    assert s_counts == f_counts
+    assert s_lifetimes == f_lifetimes
+
+
+def test_fused_single_window(setup):
+    """Exactly-T sequences: one window, no association jobs."""
+    cfg, model, variables, frames = setup
+    windows, _ = get_subsequence_frames(4, 4, 2)
+    assert len(windows) == 1
+    params = _params(cfg)
+
+    s = _streaming(cfg, variables, frames[:4], windows, params)
+    f = _fused(cfg, variables, frames[:4], windows, params)
+    np.testing.assert_array_equal(s[0], f[0])
+    np.testing.assert_array_equal(s[3], f[3])
+
+
+def test_fused_tail_window(setup):
+    """Non-uniform tail stride (seq_len not aligned to the window stride)."""
+    cfg, model, variables, frames = setup
+    windows, _ = get_subsequence_frames(9, 4, 2)
+    assert windows[-1] == [5, 6, 7, 8] and windows[-2][0] != 5
+    params = _params(cfg)
+
+    s = _streaming(cfg, variables, frames[:9], windows, params)
+    f = _fused(cfg, variables, frames[:9], windows, params)
+    np.testing.assert_array_equal(s[0], f[0])
+    assert s[1] == f[1] and s[2] == f[2]
+
+
+def test_fused_full_scale(setup):
+    """--resize_embeddings path: 4x upsample before clustering, semseg
+    resized per window before averaging."""
+    cfg, model, variables, frames = setup
+    windows, _ = get_subsequence_frames(8, 4, 2)
+    params = _params(cfg)
+
+    s = _streaming(cfg, variables, frames[:8], windows, params,
+                   full_scale=True, semseg_output_type="logits")
+    f = _fused(cfg, variables, frames[:8], windows, params,
+               full_scale=True, semseg_output_type="logits")
+    np.testing.assert_array_equal(s[0], f[0])
+    np.testing.assert_array_equal(s[3], f[3])
+    np.testing.assert_allclose(s[4], f[4], rtol=1e-5, atol=1e-6)
+
+
+def test_fused_raw_uint8_path(setup):
+    """Raw uint8 frames with on-device resize/normalize."""
+    cfg, model, variables, frames = setup
+    rng = np.random.RandomState(1)
+    raw = (rng.rand(10, 60, 90, 3) * 255).astype(np.uint8)
+    windows, _ = get_subsequence_frames(10, 4, 2)
+    params = _params(cfg)
+
+    s = _streaming(cfg, variables, raw, windows, params, resize_hw=(64, 96))
+    f = _fused(cfg, variables, raw, windows, params, resize_hw=(64, 96))
+    np.testing.assert_array_equal(s[0], f[0])
+    np.testing.assert_array_equal(s[3], f[3])

@@ -89,8 +89,9 @@ def test_inference_cli_davis(tmp_path, monkeypatch):
     assert img.mode == "P"
     assert np.array(img).shape == (48, 64)
 
+    # the fused one-jit path folds clustering into the model graph, so all
+    # time lands in the 'inference' timer (see TrackGenerator.do_fused)
     assert Timer.get_duration("inference") > 0
-    assert Timer.get_duration("postprocessing") > 0
 
 
 def test_inference_cli_ytvis_resize_embeddings(tmp_path, monkeypatch):
