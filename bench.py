@@ -5,10 +5,16 @@ Mirrors the reference's self-measured fps report
 I/O excluded):
 
 * ``clips/s`` — the jitted flagship forward (ResNet-101-FPN + embedding +
-  semseg 3D heads) on a fixed 480p bucket [1, 8, 480, 864, 3];
-* ``e2e_fps`` — the full streaming pipeline on a synthetic 64-frame 480p
-  sequence: sliding-window engine (overlap 6) + fused clustering + track
-  chaining, i.e. the reference's "overall fps" with output writing excluded.
+  semseg 3D heads) on a fixed 480p bucket [1, 8, 480, 864, 3], fp32 and
+  bf16, with MFU vs the chip's nominal bf16 peak (fp32 convs on TPU already
+  execute as single bf16 MXU passes at JAX's default precision, so fp32 MFU
+  is also quoted against the bf16 peak — see BASELINE.md);
+* ``e2e_fps`` — the fused one-jit pipeline on a synthetic 64-frame 480p
+  sequence: sliding windows (overlap 6) + clustering + track stitching.
+  ``e2e_device_fps`` ships the frames to HBM first and keeps outputs on
+  device — the on-chip number, independent of the axon tunnel's highly
+  variable bulk bandwidth (measured 8-116 MB/s run-to-run); the wall number
+  includes those transfers (best + median of 5).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 ``vs_baseline`` is vs the reference's V100 fps — unpublished (BASELINE.md),
@@ -20,38 +26,78 @@ import time
 
 import numpy as np
 
+# nominal dense-matmul peaks (TFLOP/s) by device kind, bf16
+_PEAK_TFLOPS = {
+    "TPU v5 lite": 197.0,
+    "TPU v5e": 197.0,
+    "TPU v5p": 459.0,
+    "TPU v4": 275.0,
+    "TPU v6 lite": 918.0,
+}
 
-def sync(x):
+
+def sync_tiny(x):
     # NOTE: block_until_ready does not actually synchronize through the
-    # axon tunnel — force execution by fetching a tiny slice.
-    np.asarray(x)
-
-
-def bench_forward(cfg, variables, model):
+    # axon tunnel — force execution by fetching a tiny slice (slicing on
+    # device so the fetch itself is 4 bytes, not the whole array).
     import jax
+
+    leaf = jax.tree.leaves(x)[0]
+    np.asarray(leaf.ravel()[:1])
+
+
+def _flops_of(fn, *args) -> float:
+    import jax
+
+    try:
+        ca = jax.jit(fn).lower(*args).compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        return float(ca.get("flops", 0.0))
+    except Exception:
+        return 0.0
+
+
+def bench_forward(cfg, variables, model, dtype_name="fp32"):
+    import jax
+    import jax.numpy as jnp
+
+    from stemseg_tpu.models import build_model
 
     n, t, h, w = 1, 8, 480, 864
     rng = np.random.RandomState(0)
     images = jax.device_put(rng.randn(n, t, h, w, 3).astype(np.float32) * 50)
-    fwd = jax.jit(model.apply)
+
+    m = (model if dtype_name == "fp32"
+         else build_model(cfg, for_training=False, dtype=jnp.bfloat16))
+    fwd = jax.jit(m.apply)
     out = fwd(variables, images)
-    sync(out["embeddings"][0, 0, 0, 0, :1])
+    sync_tiny(out["embeddings"])
 
     iters = 10
     start = time.perf_counter()
     for _ in range(iters):
         out = fwd(variables, images)
-    sync(out["embeddings"][0, 0, 0, 0, :1])
-    return iters * n / (time.perf_counter() - start)
+    sync_tiny(out["embeddings"])
+    dt = (time.perf_counter() - start) / iters
+
+    flops = _flops_of(m.apply, variables, images)
+    dev_kind = jax.devices()[0].device_kind
+    peak = _PEAK_TFLOPS.get(dev_kind, 0.0) * 1e12
+    mfu = flops / dt / peak if (flops and peak) else None
+    return n / dt, mfu
 
 
 def bench_e2e(cfg, variables):
     """Fused one-jit pipeline (the CLI path): whole sequence -> labels in
-    <=3 host round-trips. Reports best AND median of 5 (tunnel overhead
-    varies run to run; median is the stable regression signal)."""
+    <=3 host round-trips. Wall fps (best AND median of 5 — tunnel transfer
+    bandwidth varies 10x run to run) plus the on-chip number with frames
+    pre-staged in HBM and outputs left on device."""
+    import jax
+
     from stemseg_tpu.inference.clustering import ClusterParams
     from stemseg_tpu.inference.engine import InferenceEngine
-    from stemseg_tpu.inference.fused_pipeline import FusedSequencePipeline
+    from stemseg_tpu.inference.fused_pipeline import FusedSequencePipeline, _round_up
     from stemseg_tpu.inference.windows import get_subsequence_frames
     from stemseg_tpu.models.embedding_utils import get_nb_free_dims
 
@@ -71,17 +117,40 @@ def bench_e2e(cfg, variables):
         free_dim_stds=tuple(cfg.training.losses.embedding.free_dim_stds))
     pipe = FusedSequencePipeline(engine, params)
 
-    def run():
+    def run_wall():
         return pipe.run(frames, windows, resize_hw=(480, 854))[0]
 
-    run()  # warmup / compile
+    run_wall()  # warmup / compile
     times = []
     for _ in range(5):
         start = time.perf_counter()
-        run()
+        run_wall()
         times.append(time.perf_counter() - start)
     times.sort()
-    return t_total / times[0], t_total / times[len(times) // 2]
+    wall_best, wall_median = t_total / times[0], t_total / times[len(times) // 2]
+
+    # on-chip: frames pre-staged in HBM, outputs stay on device (the two
+    # association round-trips and the tiny inters fetch remain — they are
+    # part of the algorithm)
+    l_pad = _round_up(t_total, 16)
+    frames_padded = np.concatenate(
+        [frames, np.zeros((l_pad - t_total, h0, w0, 3), np.uint8)], axis=0)
+    frames_dev = jax.device_put(frames_padded)
+    sync_tiny(frames_dev)
+
+    def run_device():
+        labels_dev, _, _, fg_dev, _ = pipe.run(
+            frames_dev, windows, resize_hw=(480, 854), device_outputs=True)
+        sync_tiny(labels_dev)
+
+    run_device()
+    dev_times = []
+    for _ in range(3):
+        start = time.perf_counter()
+        run_device()
+        dev_times.append(time.perf_counter() - start)
+    device_fps = t_total / min(dev_times)
+    return wall_best, wall_median, device_fps
 
 
 def main():
@@ -96,17 +165,22 @@ def main():
                            np.zeros((1, cfg.input.num_frames, 64, 96, 3), np.float32))
     variables = jax.device_put(variables)
 
-    clips_per_sec = bench_forward(cfg, variables, model)
-    e2e_fps, e2e_fps_median = bench_e2e(cfg, variables)
+    clips_fp32, mfu_fp32 = bench_forward(cfg, variables, model, "fp32")
+    clips_bf16, mfu_bf16 = bench_forward(cfg, variables, model, "bf16")
+    e2e_fps, e2e_fps_median, e2e_device_fps = bench_e2e(cfg, variables)
 
     print(json.dumps({
         "metric": "480p_8frame_clips_per_sec_per_chip",
-        "value": round(clips_per_sec, 4),
+        "value": round(clips_fp32, 4),
         "unit": "clips/s",
         "vs_baseline": None,
-        "forward_frames_per_sec": round(clips_per_sec * 8, 2),
+        "forward_frames_per_sec": round(clips_fp32 * 8, 2),
+        "forward_clips_per_sec_bf16": round(clips_bf16, 4),
+        "forward_mfu_fp32": round(mfu_fp32, 4) if mfu_fp32 else None,
+        "forward_mfu_bf16": round(mfu_bf16, 4) if mfu_bf16 else None,
         "e2e_pipeline_fps": round(e2e_fps, 2),
         "e2e_pipeline_fps_median": round(e2e_fps_median, 2),
+        "e2e_device_fps": round(e2e_device_fps, 2),
     }))
 
 

@@ -391,14 +391,21 @@ class FusedSequencePipeline:
     def run(self, frames: np.ndarray, windows: List[List[int]],
             seediness_fg_threshold: float = 0.25,
             semseg_output_type: str = "probs",
-            resize_hw: Optional[Tuple[int, int]] = None):
+            resize_hw: Optional[Tuple[int, int]] = None,
+            device_outputs: bool = False):
         """Full pipeline for one sequence.
 
         :param frames: [T_total, H0, W0, 3] uint8 raw (with resize_hw) or
-            float32 preprocessed /32-padded frames
+            float32 preprocessed /32-padded frames; may already be a device
+            array (pre-padded to a multiple of 16 frames) to overlap the H2D
+            transfer with other work
         :param windows: schedule from ``get_subsequence_frames`` — must have
             no duplicate frames (sequences >= T; callers fall back to the
             streaming path otherwise)
+        :param device_outputs: skip the final bulk D2H fetch and return
+            device arrays (labels/fg/multiclass, still padded to l_pad) with
+            counts/lifetimes as None — lets callers pipeline the fetch with
+            the next sequence's compute
         :return: (labels [T, h_c, w_c] int32 np, counts, lifetimes,
                   fg_masks np, multiclass np or None)
         """
@@ -414,6 +421,8 @@ class FusedSequencePipeline:
         band = _round_up(k * sched.lookback, self.LOOKBACK_PAD)
 
         if frames.shape[0] != l_pad:
+            assert not isinstance(frames, jax.Array), \
+                "device-resident frames must be pre-padded to l_pad"
             pad = np.zeros((l_pad - t_total,) + frames.shape[1:], frames.dtype)
             frames = np.concatenate([frames, pad], axis=0)
 
@@ -454,6 +463,10 @@ class FusedSequencePipeline:
                 g = gmap[g]
             lut[raw + 1] = g
         labels_dev = self._apply_lut(out["committed"], jnp.asarray(lut))
+
+        if device_outputs:
+            return (labels_dev, None, None, out["fg_masks"],
+                    out["multiclass_masks"])
 
         # ---- round trip 2: final volumes ----
         fetch = [labels_dev, out["fg_masks"]]

@@ -200,3 +200,83 @@ def test_pallas_backend_matches_xla():
         r_x = cluster_window(*args, params, backend="xla")
         r_p = cluster_window(*args, params, backend="pallas")
         np.testing.assert_array_equal(np.asarray(r_x.labels), np.asarray(r_p.labels))
+
+
+def _tiled_case(rng, p, e=3, n_free=0):
+    emb, bw, seed = _synthetic_points(rng, e=e, n_free=n_free)
+    reps = int(np.ceil(p / len(emb)))
+    emb = np.tile(emb, (reps, 1))[:p] + rng.randn(p, e).astype(np.float32) * 0.01
+    bw = np.tile(bw, (reps, 1))[:p]
+    seed = np.clip(np.tile(seed, reps)[:p]
+                   + rng.randn(p).astype(np.float32) * 0.01, 0.0, 1.0)
+    fg = rng.rand(p) > 0.3
+    return emb, bw, seed, fg
+
+
+@pytest.mark.parametrize("mode,max_instances", [
+    ("reference", 20),
+    ("nearest", 20),
+    ("reference", 2),  # exhausts max_instances -> stale-mask quirk
+])
+def test_tiled_pallas_interpret_matches_xla(mode, max_instances):
+    """The HBM-streaming tiled kernel (interpreter mode on CPU, tiny tiles so
+    several tiles + the cross-tile argmax reduction are exercised) must be
+    label- and meta-exact vs the XLA fori_loop path."""
+    import jax.numpy as jnp
+
+    from stemseg_tpu.inference.clustering import ClusterParams, _cluster
+    from stemseg_tpu.ops import cluster_points_pallas_tiled
+
+    rng = np.random.RandomState(7)
+    p = 1300 + 17  # not a multiple of the tile size -> exercises padding
+    emb, bw, seed, fg = _tiled_case(rng, p)
+    params = ClusterParams(secondary_assignment=mode,
+                           max_instances=max_instances)
+
+    r_x = _cluster(jnp.asarray(emb), jnp.asarray(bw), jnp.asarray(seed),
+                   jnp.asarray(fg), params)
+
+    labels_t, meta = cluster_points_pallas_tiled(
+        jnp.asarray(emb), jnp.asarray(bw), jnp.asarray(seed), jnp.asarray(fg),
+        e_dims=3, max_instances=max_instances,
+        primary=params.primary_prob_thresh,
+        secondary=params.secondary_prob_thresh,
+        min_seediness=params.min_seediness_prob,
+        reference_secondary=(mode == "reference"),
+        tile_rows=8, interpret=True)
+
+    np.testing.assert_array_equal(np.asarray(r_x.labels), np.asarray(labels_t))
+    k = max_instances
+    np.testing.assert_allclose(np.asarray(meta[:k, :3]),
+                               np.asarray(r_x.centers), rtol=0, atol=0)
+    np.testing.assert_allclose(np.asarray(meta[:k, 3:6]),
+                               np.asarray(r_x.bandwidths), rtol=0, atol=0)
+    np.testing.assert_array_equal(np.asarray(meta[:k, -1] > 0.5),
+                                  np.asarray(r_x.valid))
+    np.testing.assert_allclose(np.asarray(meta[:k, -2]),
+                               np.asarray(r_x.seed_probs), rtol=0, atol=0)
+
+
+@pytest.mark.skipif(jax.default_backend() != "tpu",
+                    reason="pallas kernel requires TPU hardware")
+def test_tiled_pallas_backend_matches_xla_large():
+    """On TPU hardware: a >PALLAS_POINT_LIMIT window routes to the tiled
+    kernel through the public dispatch and stays label-exact vs XLA."""
+    import jax.numpy as jnp
+
+    from stemseg_tpu.inference.clustering import ClusterParams, cluster_window
+    from stemseg_tpu.ops import PALLAS_POINT_LIMIT
+
+    rng = np.random.RandomState(11)
+    p = PALLAS_POINT_LIMIT + 70_000  # ~330k points -> tiled path
+    emb, bw, seed, fg = _tiled_case(rng, p)
+    for mode in ("reference", "nearest"):
+        params = ClusterParams(secondary_assignment=mode)
+        args = (jnp.asarray(emb.reshape(1, 1, p, 3)),
+                jnp.asarray(bw.reshape(1, 1, p, 3)),
+                jnp.asarray(seed.reshape(1, 1, p)),
+                jnp.asarray(fg.reshape(1, 1, p)))
+        r_x = cluster_window(*args, params, backend="xla")
+        r_p = cluster_window(*args, params, backend="pallas")
+        np.testing.assert_array_equal(np.asarray(r_x.labels),
+                                      np.asarray(r_p.labels))
