@@ -52,6 +52,28 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
 
 def shard_batch(batch, mesh: Mesh):
     """Device-put a host batch pytree with the leading dim sharded over the
-    data axis (one H2D transfer per shard)."""
+    data axis (one H2D transfer per shard).
+
+    Multi-host: each process passes its LOCAL portion of the batch (the
+    rank-sliced sampler output, ``training/main.py``) and the global array
+    is assembled across processes — the analogue of the reference's
+    rank-sliced ``DistributedSampler`` feeding per-rank DDP replicas."""
     sharding = batch_sharding(mesh)
+    if jax.process_count() > 1:
+        return jax.tree.map(
+            lambda x: jax.make_array_from_process_local_data(
+                sharding, np.asarray(x)), batch)
     return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
+
+
+def replicate(tree, mesh: Mesh):
+    """Replicate a pytree over the mesh — multi-host safe (every process
+    must hold identical values, e.g. params built from the same PRNG seed,
+    matching the reference's seed-42-before-init DDP convention,
+    ``model_builder.py:252``)."""
+    sharding = replicated_sharding(mesh)
+    if jax.process_count() > 1:
+        return jax.tree.map(
+            lambda x: jax.make_array_from_process_local_data(
+                sharding, np.asarray(x)), tree)
+    return jax.device_put(tree, sharding)
