@@ -97,3 +97,7 @@ class PrefetchLoader:
                 next_seq += 1
         finally:
             stop.set()
+            # join so no worker is killed mid-build (a daemon thread torn
+            # down inside native code aborts the process at interpreter exit)
+            for t in threads:
+                t.join(timeout=30.0)
