@@ -5,14 +5,27 @@ Behavioral equivalent of
 ``/root/reference/stemseg/data/image_to_seq_augmenter.py`` (which wraps
 imgaug): each call applies
 
-1. a photometric jitter to the source image (1..2 of {brightness add in
-   ``brightness_range``, hue/saturation add in ``hue_saturation_range``});
+1. a photometric jitter to the source image — ``iaa.SomeOf((1, None))``
+   semantics: n ∈ {1, 2} uniformly, that many of {brightness add,
+   hue+saturation add} chosen without replacement and applied in random
+   order; ``iaa.AddToHueAndSaturation`` draws ONE value shared by the hue
+   and saturation channels;
 2. one random geometric transform shared by image, masks and the
-   validity map: optional perspective jitter (corner displacement ~
-   N(0, magnitude)·dim, like ``iaa.PerspectiveTransform``) composed with an
-   affine (uniform scale / translate-percent / rotation);
+   validity map: optional perspective jitter matching
+   ``iaa.PerspectiveTransform(scale, keep_size=True)`` — each corner moves
+   INWARD by ``|N(0, scale)|``·dim and the shrunken quad is stretched back
+   to the full canvas (one homography; the stretch-back composes exactly
+   because a 4-point correspondence determines the homography) — composed
+   with an affine (uniform scale / translate-percent / rotation);
 3. optional motion blur (probability ``motion_blur_prob``, random kernel
    size from ``motion_blur_kernel_sizes``, random direction).
+
+The match to imgaug is distributional, not bit-level (imgaug is absent from
+this image): ``tests/test_augmenter_stats.py`` pins the corner-displacement
+moments, affine parameter ranges, op application frequencies and
+invalid-mask statistics against the imgaug model's analytic values.
+Ignored imgaug detail: it caps |N| displacements via ``mod 0.32``
+(P(|N(0,0.12)| > 0.32) ≈ 0.8% — negligible).
 
 The invalid-pixel map is produced by warping an all-ones image with the SAME
 geometric transform (one transform matrix — no re-seeding trick needed,
@@ -56,24 +69,29 @@ class ImageToSeqAugmenter:
 
     # ------------------------------------------------------------------
 
-    def _photometric(self, image: np.ndarray) -> np.ndarray:
-        ops = []
-        if random.random() < 0.5:
-            ops.append("brightness")
-        if random.random() < 0.5:
-            ops.append("hue_sat")
-        if not ops:  # SomeOf((1, None)) always applies at least one
-            ops.append(random.choice(["brightness", "hue_sat"]))
+    @staticmethod
+    def _sample_photometric_ops() -> List[str]:
+        # iaa.SomeOf((1, None), [...]): n uniform in {1, 2}, that many ops
+        # without replacement, RANDOM order
+        ops = ["brightness", "hue_sat"]
+        random.shuffle(ops)
+        return ops[:random.randint(1, 2)]
 
-        out = image.astype(np.int16)
-        if "brightness" in ops:
-            out = out + int(random.uniform(*self.brightness_range))
-        out = np.clip(out, 0, 255).astype(np.uint8)
-        if "hue_sat" in ops:
-            hsv = cv2.cvtColor(out, cv2.COLOR_BGR2HSV).astype(np.int16)
-            hsv[..., 0] = (hsv[..., 0] + int(random.uniform(*self.hue_saturation_range))) % 180
-            hsv[..., 1] = np.clip(hsv[..., 1] + int(random.uniform(*self.hue_saturation_range)), 0, 255)
-            out = cv2.cvtColor(hsv.astype(np.uint8), cv2.COLOR_HSV2BGR)
+    def _photometric(self, image: np.ndarray) -> np.ndarray:
+        out = image
+        ops = self._sample_photometric_ops()
+        for op in ops:
+            if op == "brightness":
+                shifted = out.astype(np.int16) + int(random.uniform(*self.brightness_range))
+                out = np.clip(shifted, 0, 255).astype(np.uint8)
+            else:
+                # iaa.AddToHueAndSaturation draws ONE value (per_channel
+                # defaults False) added to both the hue and saturation planes
+                val = int(random.uniform(*self.hue_saturation_range))
+                hsv = cv2.cvtColor(out, cv2.COLOR_BGR2HSV).astype(np.int16)
+                hsv[..., 0] = (hsv[..., 0] + val) % 180
+                hsv[..., 1] = np.clip(hsv[..., 1] + val, 0, 255)
+                out = cv2.cvtColor(hsv.astype(np.uint8), cv2.COLOR_HSV2BGR)
         return out
 
     def _sample_geometric(self, h: int, w: int) -> Optional[np.ndarray]:
@@ -81,11 +99,17 @@ class ImageToSeqAugmenter:
         mat = np.eye(3, dtype=np.float64)
 
         if self.perspective:
-            src = np.float32([[0, 0], [w, 0], [w, h], [0, h]])
-            jitter = np.random.normal(0, self.perspective_magnitude, (4, 2)) \
+            # iaa.PerspectiveTransform(scale, keep_size=True): corners move
+            # INWARD by |N(0, scale)|·dim; the shrunken quad is stretched
+            # back over the full canvas (keep_size) — one homography mapping
+            # the jittered source quad onto the full-image corners
+            full = np.float32([[0, 0], [w, 0], [w, h], [0, h]])
+            jitter = np.abs(np.random.normal(
+                0, self.perspective_magnitude, (4, 2))).astype(np.float32) \
                 * np.float32([w, h])
-            dst = src + jitter.astype(np.float32)
-            mat = cv2.getPerspectiveTransform(src, dst).astype(np.float64) @ mat
+            inward = np.float32([[1, 1], [-1, 1], [-1, -1], [1, -1]])
+            src = full + jitter * inward
+            mat = cv2.getPerspectiveTransform(src, full).astype(np.float64) @ mat
 
         if self.affine:
             if isinstance(self.scale_range, (tuple, list)):

@@ -41,6 +41,41 @@ import numpy as np
 import jax.numpy as jnp
 
 
+class ClusterTimeLog:
+    """Per-call clustering durations bucketed by point count — the
+    observability feature of the reference's ``ClustererBase``
+    (``/root/reference/stemseg/inference/clusterers.py:8-29``).
+
+    Opt-in (``--profile_clustering``): timing one window requires syncing on
+    its result, which defeats the pipeline's async dispatch — so the log is
+    only attached when profiling, and only on the streaming path (the fused
+    path compiles all windows into one XLA program, so per-window durations
+    do not exist there)."""
+
+    def __init__(self):
+        from collections import defaultdict
+
+        self._time_log = defaultdict(list)
+
+    def record(self, n_points: int, duration: float) -> None:
+        self._time_log[int(n_points)].append(duration)
+
+    def reset_time_log(self) -> None:
+        for v in self._time_log.values():
+            v.clear()
+        self._time_log.clear()
+
+    @property
+    def average_time(self) -> float:
+        all_times = [t for v in self._time_log.values() for t in v]
+        return sum(all_times) / float(len(all_times)) if all_times else 0.0
+
+    def summary(self):
+        """{point_count: (n_calls, mean_seconds)} sorted by point count."""
+        return {p: (len(v), sum(v) / len(v))
+                for p, v in sorted(self._time_log.items())}
+
+
 class ClusterParams(NamedTuple):
     primary_prob_thresh: float = 0.5
     secondary_prob_thresh: float = 0.3
@@ -159,7 +194,8 @@ def _cluster(embeddings, bandwidths, seediness, fg_mask, params: ClusterParams):
 def cluster_window(embeddings: jnp.ndarray, bandwidths: jnp.ndarray,
                    seediness: jnp.ndarray, fg_mask: jnp.ndarray,
                    params: ClusterParams, label_start: int = 1,
-                   backend: str = "auto") -> ClusterResult:
+                   backend: str = "auto",
+                   time_log: "ClusterTimeLog" = None) -> ClusterResult:
     """Cluster one window.
 
     :param embeddings: [T, H, W, E] (grid offsets included)
@@ -168,11 +204,15 @@ def cluster_window(embeddings: jnp.ndarray, bandwidths: jnp.ndarray,
     :param fg_mask: [T, H, W] bool
     :param label_start: first label id to assign (labels are globally unique
         across windows, reference ``clusterers.py:121``)
-    :param backend: 'auto' (fused Pallas kernel on TPU when the point set
-        fits VMEM, else XLA), 'pallas', or 'xla'
+    :param backend: 'auto' (Pallas kernel on TPU — VMEM-resident or tiled —
+        else XLA), 'pallas', or 'xla'
+    :param time_log: optional ClusterTimeLog — forces a sync per window to
+        record its duration bucketed by point count
     :return: ClusterResult with ``labels`` reshaped to [T, H, W]; assigned
         labels are ``label_start + k`` for cluster slot k, -1 elsewhere.
     """
+    import time
+
     p = int(np.prod(fg_mask.shape))
     if backend == "auto":
         from stemseg_tpu.ops import pallas_clustering_supported
@@ -181,9 +221,19 @@ def cluster_window(embeddings: jnp.ndarray, bandwidths: jnp.ndarray,
         backend = "pallas" if pallas_clustering_supported(
             p, params.max_instances, e_dims=e_full) else "xla"
 
-    return _cluster_window_jit(embeddings, bandwidths, seediness, fg_mask,
-                               jnp.asarray(label_start, jnp.int32), params,
-                               backend)
+    if time_log is None:
+        return _cluster_window_jit(embeddings, bandwidths, seediness, fg_mask,
+                                   jnp.asarray(label_start, jnp.int32), params,
+                                   backend)
+
+    np.asarray(jnp.ravel(seediness)[:1])  # drain queued work before timing
+    start = time.perf_counter()
+    res = _cluster_window_jit(embeddings, bandwidths, seediness, fg_mask,
+                              jnp.asarray(label_start, jnp.int32), params,
+                              backend)
+    np.asarray(jnp.ravel(res.labels)[:1])  # sync (tunnel-safe tiny fetch)
+    time_log.record(p, time.perf_counter() - start)
+    return res
 
 
 @partial(jax.jit, static_argnums=(5, 6))

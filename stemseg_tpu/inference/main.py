@@ -103,10 +103,12 @@ class TrackGenerator:
                  max_tracks: int, seediness_thresh: float = 0.25,
                  frame_overlap: int = -1, resize_embeddings: bool = False,
                  cpu_workers: int = 4, use_fused: bool = True,
-                 bf16: bool = False):
+                 bf16: bool = False, profile_clustering: bool = False):
         import jax.numpy as jnp
 
-        from stemseg_tpu.inference.clustering import ClusterParams, cluster_window
+        from stemseg_tpu.inference.clustering import (ClusterParams,
+                                                      ClusterTimeLog,
+                                                      cluster_window)
         from stemseg_tpu.inference.engine import InferenceEngine
         from stemseg_tpu.models.embedding_utils import get_nb_free_dims
 
@@ -154,7 +156,14 @@ class TrackGenerator:
                 bw = upsample_trilinear(bw[None], (1.0, 4.0, 4.0))[0]
                 seed = upsample_trilinear(seed[None, ..., None], (1.0, 4.0, 4.0))[0, ..., 0]
             return cluster_window(emb, bw, seed, fg_mask, self.cluster_params,
-                                  label_start)
+                                  label_start, time_log=self.cluster_time_log)
+
+        # per-point-count duration buckets (reference ClustererBase,
+        # clusterers.py:8-29) — profiling forces the streaming path since the
+        # fused graph has no per-window boundary to time
+        self.cluster_time_log = ClusterTimeLog() if profile_clustering else None
+        if profile_clustering:
+            use_fused = False
 
         from stemseg_tpu.inference.chainer import OnlineChainer
 
@@ -280,6 +289,12 @@ class TrackGenerator:
               f"{self.total_frames_processed / post:.3f} fps")
         print(f"Overall speed: "
               f"{self.total_frames_processed / max(Timer.get_durations_sum(), 1e-9):.3f} fps")
+        if self.cluster_time_log is not None:
+            print("Clustering durations by point count "
+                  "(points: calls, mean ms):")
+            for pts, (n, mean_s) in self.cluster_time_log.summary().items():
+                print(f"  {pts:>9d}: {n:4d} calls, {mean_s * 1e3:8.2f} ms")
+            print(f"  average: {self.cluster_time_log.average_time * 1e3:.2f} ms")
         print("----------------------------------------------------")
 
 
@@ -301,6 +316,11 @@ def main(argv=None):
     parser.add_argument("--bf16", action="store_true",
                         help="run the model forward in bfloat16 (params stay "
                              "fp32; clustering/averaging stay fp32)")
+    parser.add_argument("--profile_clustering", action="store_true",
+                        help="log per-window clustering durations bucketed "
+                             "by point count (reference ClustererBase "
+                             "semantics; forces the streaming path and a "
+                             "sync per window)")
     args = parser.parse_args(argv)
 
     cfg = load_inference_cfg(args.model_path, args.dataset, args.min_dim,
@@ -357,7 +377,7 @@ def main(argv=None):
         seediness_thresh=args.seediness_thresh,
         frame_overlap=args.frame_overlap,
         resize_embeddings=args.resize_embeddings,
-        bf16=args.bf16)
+        bf16=args.bf16, profile_clustering=args.profile_clustering)
 
     generator.start(sequences, args.seqs)
     output_generator.save()

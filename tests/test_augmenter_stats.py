@@ -1,0 +1,141 @@
+"""Statistical equivalence of the cv2 augmenter vs the reference's imgaug
+configuration (VERDICT r1 item 10).
+
+imgaug is absent from this image, so "behavioral equivalent" is pinned
+against the imgaug model's ANALYTIC distributions
+(``/root/reference/stemseg/data/image_to_seq_augmenter.py:10-94``):
+
+* ``iaa.PerspectiveTransform(0.12, keep_size=True)``: each corner moves
+  INWARD by ``|N(0, 0.12)|``·dim, then the quad is stretched back over the
+  full canvas — E|N| = σ√(2/π), Var = σ²(1−2/π); inward-only means the
+  perspective step alone never creates invalid border pixels;
+* ``iaa.Affine(translate_percent=±0.15, rotate=±20°, order=1)``: uniform
+  marginals;
+* ``iaa.SomeOf((1, None), [Add, AddToHueAndSaturation])``: n ∈ {1,2}
+  uniform without replacement → P(op applied) = 0.75, P(both) = 0.5;
+* ``iaa.Sometimes(0.5, MotionBlur)``.
+"""
+
+import math
+import random
+
+import cv2
+import numpy as np
+
+from stemseg_tpu.data.augmenter import ImageToSeqAugmenter
+
+FULL = lambda w, h: np.float32([[0, 0], [w, 0], [w, h], [0, h]])
+
+
+def _src_corners(mat, w, h):
+    """Pre-image of the full-image corners under the sampled homography."""
+    inv = np.linalg.inv(mat)
+    pts = cv2.perspectiveTransform(FULL(w, h).reshape(1, 4, 2).astype(np.float64),
+                                   inv)[0]
+    return pts
+
+
+def test_perspective_displacement_moments():
+    random.seed(0)
+    np.random.seed(0)
+    aug = ImageToSeqAugmenter(affine=False, motion_blur=False,
+                              perspective_magnitude=0.12)
+    w, h = 320, 240
+    disp = []
+    inward_ok = True
+    for _ in range(1500):
+        mat = aug._sample_geometric(h, w)
+        src = _src_corners(mat, w, h)
+        d = (src - FULL(w, h)) / np.float32([w, h])  # per-corner fraction
+        # inward direction: +x for left corners, -x for right, etc.
+        signs = np.float32([[1, 1], [-1, 1], [-1, -1], [1, -1]])
+        proj = d * signs
+        inward_ok &= bool((proj > -1e-5).all())
+        disp.extend(np.abs(d).ravel().tolist())
+
+    disp = np.asarray(disp)
+    sigma = 0.12
+    exp_mean = sigma * math.sqrt(2 / math.pi)
+    exp_std = sigma * math.sqrt(1 - 2 / math.pi)
+    assert inward_ok, "perspective corners must move inward (keep_size model)"
+    assert abs(disp.mean() - exp_mean) < 0.07 * exp_mean, \
+        (disp.mean(), exp_mean)
+    assert abs(disp.std() - exp_std) < 0.10 * exp_std, (disp.std(), exp_std)
+
+
+def test_affine_parameter_moments():
+    random.seed(1)
+    np.random.seed(1)
+    aug = ImageToSeqAugmenter(perspective=False, motion_blur=False)
+    w, h = 320, 240
+    angles, txs, tys = [], [], []
+    for _ in range(2000):
+        mat = aug._sample_geometric(h, w)
+        # our affine: rot-scale about center then translate; recover params
+        a, b = mat[0, 0], mat[0, 1]
+        angle = math.degrees(math.atan2(b, a))
+        scale = math.hypot(a, b)
+        assert abs(scale - 1.0) < 1e-6  # scale_range = 1.0 in the reference
+        # translation of the center pixel = pure translate component
+        c = np.float64([[w / 2, h / 2]]).reshape(1, 1, 2)
+        cc = cv2.perspectiveTransform(c, mat)[0, 0]
+        angles.append(angle)
+        txs.append((cc[0] - w / 2) / w)
+        tys.append((cc[1] - h / 2) / h)
+
+    angles, txs, tys = map(np.asarray, (angles, txs, tys))
+    # uniform(-20, 20): mean 0, std 40/sqrt(12)
+    assert abs(angles.mean()) < 1.0
+    assert abs(angles.std() - 40 / math.sqrt(12)) < 0.6
+    assert angles.min() > -20.01 and angles.max() < 20.01
+    for t in (txs, tys):
+        assert abs(t.mean()) < 0.01
+        assert abs(t.std() - 0.30 / math.sqrt(12)) < 0.008
+        assert t.min() > -0.1501 and t.max() < 0.1501
+
+
+def test_photometric_op_frequencies():
+    random.seed(2)
+    n = 4000
+    counts = {"brightness": 0, "hue_sat": 0, "both": 0, "first_brightness": 0}
+    for _ in range(n):
+        ops = ImageToSeqAugmenter._sample_photometric_ops()
+        assert 1 <= len(ops) <= 2
+        for op in ops:
+            counts[op] += 1
+        if len(ops) == 2:
+            counts["both"] += 1
+            counts["first_brightness"] += ops[0] == "brightness"
+    # SomeOf((1, None)): P(each op) = 0.75, P(both) = 0.5, random order
+    assert abs(counts["brightness"] / n - 0.75) < 0.03
+    assert abs(counts["hue_sat"] / n - 0.75) < 0.03
+    assert abs(counts["both"] / n - 0.5) < 0.03
+    assert abs(counts["first_brightness"] / max(counts["both"], 1) - 0.5) < 0.05
+
+
+def test_motion_blur_frequency():
+    random.seed(3)
+    aug = ImageToSeqAugmenter(perspective=False, affine=False)
+    img = np.full((64, 64, 3), 128, np.uint8)
+    img[20:40, 20:40] = 255
+    applied = sum(aug._motion_blur(img) is not img for _ in range(1000))
+    assert abs(applied / 1000 - 0.5) < 0.05
+
+
+def test_perspective_only_never_invalidates_pixels():
+    """keep_size semantics: the inward-jittered quad covers the whole
+    canvas, so perspective alone yields zero invalid pixels (invalid borders
+    come from the affine translate/rotate, as in imgaug)."""
+    random.seed(4)
+    np.random.seed(4)
+    aug = ImageToSeqAugmenter(affine=False, motion_blur=False)
+    img = np.full((120, 160, 3), 200, np.uint8)
+    for _ in range(50):
+        _, invalid = aug(img)
+        assert invalid.sum() == 0
+
+    random.seed(4)
+    np.random.seed(4)
+    aug_full = ImageToSeqAugmenter(motion_blur=False)
+    frac = np.mean([aug_full(img)[1].mean() for _ in range(100)])
+    assert 0.0 < frac < 0.5  # translations/rotations do create borders

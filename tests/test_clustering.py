@@ -202,6 +202,38 @@ def test_pallas_backend_matches_xla():
         np.testing.assert_array_equal(np.asarray(r_x.labels), np.asarray(r_p.labels))
 
 
+def test_cluster_time_log():
+    """Per-point-count duration buckets (reference ClustererBase,
+    clusterers.py:8-29), opt-in via cluster_window(time_log=...)."""
+    import jax.numpy as jnp
+
+    from stemseg_tpu.inference.clustering import (ClusterParams,
+                                                  ClusterTimeLog,
+                                                  cluster_window)
+
+    rng = np.random.RandomState(5)
+    emb, bw, seed = _synthetic_points(rng)
+    p = len(emb)
+    fg = rng.rand(p) > 0.3
+    log = ClusterTimeLog()
+    params = ClusterParams()
+    args = (jnp.asarray(emb.reshape(1, 1, p, 3)),
+            jnp.asarray(bw.reshape(1, 1, p, 3)),
+            jnp.asarray(seed.reshape(1, 1, p)),
+            jnp.asarray(fg.reshape(1, 1, p)))
+    r1 = cluster_window(*args, params, backend="xla", time_log=log)
+    cluster_window(*args, params, backend="xla", time_log=log)
+    r0 = cluster_window(*args, params, backend="xla")  # no log -> unchanged
+
+    assert list(log.summary()) == [p]
+    n_calls, mean_s = log.summary()[p]
+    assert n_calls == 2 and mean_s > 0
+    assert log.average_time > 0
+    np.testing.assert_array_equal(np.asarray(r1.labels), np.asarray(r0.labels))
+    log.reset_time_log()
+    assert log.summary() == {} and log.average_time == 0.0
+
+
 def _tiled_case(rng, p, e=3, n_free=0):
     emb, bw, seed = _synthetic_points(rng, e=e, n_free=n_free)
     reps = int(np.ceil(p / len(emb)))
