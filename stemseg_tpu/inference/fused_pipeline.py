@@ -190,12 +190,23 @@ class FusedSequencePipeline:
 
     LOOKBACK_PAD = 8  # candidate band padded to a multiple (jit signatures)
 
+    def _band(self, lookback: int) -> int:
+        """Candidate-band width, bucketed to 2 look-back windows so a tail
+        window that overlaps one window further back (lookback N+1 vs the
+        regular stride's N) still shares its sequence-length bucket's
+        compile. Extra rows are provably zero (committed ids >= the window's
+        own block never appear before its commit) and ``fold_and_associate``
+        skips n1==0 rows by contract."""
+        k = self.cluster_params.max_instances
+        return _round_up(k * lookback, max(self.LOOKBACK_PAD, 2 * k))
+
     def __init__(self, engine: InferenceEngine, cluster_params: ClusterParams,
                  cluster_full_scale: bool = False, backend: str = "auto"):
         self.engine = engine
         self.cluster_params = cluster_params
         self.cluster_full_scale = cluster_full_scale
         self.backend = backend
+        self._sharded_cache: Dict = {}
         self._fused = jax.jit(
             self._fused_graph,
             static_argnames=("resize_hw", "semseg_output_type",
@@ -392,7 +403,8 @@ class FusedSequencePipeline:
             seediness_fg_threshold: float = 0.25,
             semseg_output_type: str = "probs",
             resize_hw: Optional[Tuple[int, int]] = None,
-            device_outputs: bool = False):
+            device_outputs: bool = False,
+            fetch_multiclass: bool = True):
         """Full pipeline for one sequence.
 
         :param frames: [T_total, H0, W0, 3] uint8 raw (with resize_hw) or
@@ -406,6 +418,8 @@ class FusedSequencePipeline:
             device arrays (labels/fg/multiclass, still padded to l_pad) with
             counts/lifetimes as None — lets callers pipeline the fetch with
             the next sequence's compute
+        :param fetch_multiclass: set False when the writer ignores
+            category masks (the DAVIS format) — skips that transfer
         :return: (labels [T, h_c, w_c] int32 np, counts, lifetimes,
                   fg_masks np, multiclass np or None)
         """
@@ -418,7 +432,7 @@ class FusedSequencePipeline:
         l_pad = _round_up(t_total, 16)
         w_pad = _round_up(w_real, 4)
         sched = _Schedule(windows, t_total, k, l_pad, w_pad)
-        band = _round_up(k * sched.lookback, self.LOOKBACK_PAD)
+        band = self._band(sched.lookback)
 
         if frames.shape[0] != l_pad:
             assert not isinstance(frames, jax.Array), \
@@ -456,7 +470,10 @@ class FusedSequencePipeline:
             jobs.append((i, cand1, cand2, inters[i], n1s[i], n2s[i]))
         gmap, _ = fold_and_associate(jobs)
 
-        lut = np.arange(-1, w_pad * k + 1, dtype=np.int32)  # identity
+        # int16 label transport halves the label fetch; ids are bounded by
+        # the raw-block ceiling w_pad*k+1 (cast back to int32 on the host)
+        lut_dtype = np.int16 if w_pad * k + 1 < 2 ** 15 else np.int32
+        lut = np.arange(-1, w_pad * k + 1, dtype=lut_dtype)  # identity
         for raw, g in gmap.items():
             # chase chains (gmap folds forward already, but stay safe)
             while g in gmap:
@@ -470,13 +487,164 @@ class FusedSequencePipeline:
 
         # ---- round trip 2: final volumes ----
         fetch = [labels_dev, out["fg_masks"]]
-        if out["multiclass_masks"] is not None:
+        want_mc = fetch_multiclass and out["multiclass_masks"] is not None
+        if want_mc:
             fetch.append(out["multiclass_masks"])
         fetched = jax.device_get(fetch)
-        labels = np.asarray(fetched[0])[:t_total]
+        labels = np.asarray(fetched[0])[:t_total].astype(np.int32)
         fg = np.asarray(fetched[1])[:t_total]
-        multiclass = (np.asarray(fetched[2])[:t_total]
-                      if out["multiclass_masks"] is not None else None)
+        multiclass = np.asarray(fetched[2])[:t_total] if want_mc else None
 
         counts, lifetimes = track_stats(labels)
         return labels, counts, lifetimes, fg, multiclass
+
+    # ------------------------------------------------------------------
+    # Multi-chip batch inference (no reference analogue — the reference is
+    # single-GPU; this scales serving throughput over a TPU mesh)
+    # ------------------------------------------------------------------
+
+    def _get_sharded(self, mesh, resize_hw, semseg_output_type,
+                     seediness_fg_threshold, backend, shape_key, band):
+        key = (mesh, resize_hw, semseg_output_type, seediness_fg_threshold,
+               backend, shape_key, band)
+        fn = self._sharded_cache.get(key)
+        if fn is not None:
+            return fn
+
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        axis = mesh.axis_names[0]
+
+        def per_device(variables, frames, xs):
+            out = self._fused_graph(
+                variables, frames[0], jax.tree.map(lambda a: a[0], xs),
+                resize_hw=resize_hw, semseg_output_type=semseg_output_type,
+                seediness_fg_threshold=seediness_fg_threshold,
+                backend=backend, shape_key=shape_key, band=band)
+            return jax.tree.map(lambda v: v[None], out)
+
+        # check_vma off: the graph is embarrassingly per-device (no
+        # collectives), but its lax.cond skip branches emit fresh zeros
+        # which the varying-manual-axes checker would reject
+        mapped = jax.shard_map(per_device, mesh=mesh,
+                               in_specs=(P(), P(axis), P(axis)),
+                               out_specs=P(axis), check_vma=False)
+        fn = jax.jit(mapped,
+                     in_shardings=(NamedSharding(mesh, P()),
+                                   NamedSharding(mesh, P(axis)),
+                                   NamedSharding(mesh, P(axis))))
+        self._sharded_cache[key] = fn
+        return fn
+
+    @functools.partial(jax.jit, static_argnums=(0,))
+    def _apply_lut_batch(self, committed, luts):
+        return jax.vmap(lambda c, l: l[c + 1])(committed, luts)
+
+    def run_batch(self, frames_batch: List[np.ndarray],
+                  windows_batch: List[List[List[int]]], mesh,
+                  seediness_fg_threshold: float = 0.25,
+                  semseg_output_type: str = "probs",
+                  resize_hw: Optional[Tuple[int, int]] = None):
+        """Data-parallel inference: ONE SEQUENCE PER DEVICE over a 1-D mesh
+        (``shard_map`` — each device runs the unbatched fused graph, so the
+        Pallas clustering kernel and all gathers stay single-core).
+
+        Sequences of different lengths share one compile: every schedule is
+        padded to the batch's (l_pad, w_pad) bucket and padded windows are
+        skipped at runtime via ``lax.cond``. The batch is padded to the mesh
+        size by repeating sequence 0 (results discarded). Per-sequence
+        Hungarian association stays on the host between the two fetches,
+        exactly as in :meth:`run`.
+
+        :param frames_batch: per-sequence frames, uint8 raw (with
+            ``resize_hw``) or preprocessed float32; all sequences must share
+            H0/W0 (one resize bucket)
+        :param mesh: 1-D ``jax.sharding.Mesh``; ``len(frames_batch)`` must be
+            <= mesh size (chunk larger workloads)
+        :return: list of per-sequence (labels, counts, lifetimes, fg_masks,
+            multiclass or None) — same contract as :meth:`run`
+        """
+        n_dev = int(np.prod(mesh.devices.shape))
+        b_real = len(frames_batch)
+        assert 1 <= b_real <= n_dev, (b_real, n_dev)
+        for f, w in zip(frames_batch, windows_batch):
+            assert all(len(set(win)) == len(win) for win in w), \
+                "fused path requires duplicate-free windows"
+            assert f.shape[1:] == frames_batch[0].shape[1:], \
+                "all sequences in a batch must share one resize bucket"
+        idxs = list(range(b_real)) + [0] * (n_dev - b_real)
+
+        k = self.cluster_params.max_instances
+        l_pad = max(_round_up(f.shape[0], 16) for f in frames_batch)
+        w_pad = max(_round_up(len(w), 4) for w in windows_batch)
+        scheds = [_Schedule(windows_batch[i], frames_batch[i].shape[0], k,
+                            l_pad, w_pad) for i in idxs]
+        band = max(self._band(s.lookback) for s in scheds)
+
+        def pad_frames(f):
+            if f.shape[0] == l_pad:
+                return f
+            pad = np.zeros((l_pad - f.shape[0],) + f.shape[1:], f.dtype)
+            return np.concatenate([f, pad], axis=0)
+
+        frames = np.stack([pad_frames(frames_batch[i]) for i in idxs])
+        xs = {name: np.stack([s.as_xs()[name] for s in scheds])
+              for name in scheds[0].as_xs()}
+
+        shape_key = (l_pad, w_pad, scheds[0].t_win, scheds[0].ring_rows)
+        if resize_hw is not None:
+            from stemseg_tpu.structures.geometry import pad_to_multiple
+
+            ph, pw = pad_to_multiple(*resize_hw)
+        else:
+            ph, pw = frames.shape[2], frames.shape[3]
+        scale = 1 if self.cluster_full_scale else 4
+        p_points = scheds[0].t_win * (ph // scale) * (pw // scale)
+        backend = self._cluster_backend(p_points)
+
+        fn = self._get_sharded(mesh, resize_hw, semseg_output_type,
+                               seediness_fg_threshold, backend, shape_key,
+                               band)
+        variables = {"params": self.engine.params,
+                     "constants": self.engine.constants}
+        out = fn(variables, frames, xs)
+
+        # ---- round trip 1: all sequences' intersections in one fetch ----
+        inters, n1s, n2s = jax.device_get((out["inters"], out["n1s"],
+                                           out["n2s"]))
+        lut_dtype = np.int16 if w_pad * k + 1 < 2 ** 15 else np.int32
+        luts = np.tile(np.arange(-1, w_pad * k + 1, dtype=lut_dtype),
+                       (n_dev, 1))
+        for b in range(b_real):
+            sched = scheds[b]
+            jobs = []
+            for i in range(1, len(windows_batch[b])):
+                cand1 = [max(0, 1 + (i - sched.lookback) * k + m)
+                         for m in range(band)]
+                cand2 = list(range(1 + i * k, 1 + (i + 1) * k))
+                jobs.append((i, cand1, cand2, inters[b, i], n1s[b, i],
+                             n2s[b, i]))
+            gmap, _ = fold_and_associate(jobs)
+            for raw, g in gmap.items():
+                while g in gmap:
+                    g = gmap[g]
+                luts[b, raw + 1] = g
+        labels_dev = self._apply_lut_batch(out["committed"],
+                                           jnp.asarray(luts))
+
+        # ---- round trip 2: all final volumes in one fetch ----
+        fetch = [labels_dev, out["fg_masks"]]
+        has_mc = out["multiclass_masks"] is not None
+        if has_mc:
+            fetch.append(out["multiclass_masks"])
+        fetched = jax.device_get(fetch)
+
+        results = []
+        for b in range(b_real):
+            t_total = frames_batch[b].shape[0]
+            labels = np.asarray(fetched[0][b])[:t_total].astype(np.int32)
+            fg = np.asarray(fetched[1][b])[:t_total]
+            mc = np.asarray(fetched[2][b])[:t_total] if has_mc else None
+            counts, lifetimes = track_stats(labels)
+            results.append((labels, counts, lifetimes, fg, mc))
+        return results

