@@ -25,6 +25,7 @@ from __future__ import annotations
 
 from typing import Optional, Sequence, Tuple
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -57,6 +58,51 @@ def _pool(pool_type: str, x):
     if pool_type == "max":
         return max_pool_3d(x, (3, 3, 3), (2, 1, 1), (1, 1, 1))
     raise ValueError(f"Unknown pool type {pool_type!r}")
+
+
+class _ConvKernel(nn.Module):
+    """Bare conv-kernel param holder. Named ``conv`` by its parent so the
+    param path matches the ``Conv`` wrapper's (``<parent>/conv/kernel``) —
+    converted reference checkpoints load unchanged."""
+
+    shape: Tuple[int, ...]
+
+    @nn.compact
+    def __call__(self):
+        from stemseg_tpu.models.layers import torch_default_conv_init
+
+        return self.param("kernel", torch_default_conv_init, self.shape)
+
+
+class FuseConv(nn.Module):
+    """One expand-cascade step — reference semantics: trilinear-upsample
+    ``a`` by (t_scale, 2, 2), concat with ``b``, bias-free 1x1x1 conv
+    (``embedding_decoder.py:101-145``). Computed as
+    ``up(conv_a(a)) + conv_b(b)``: a 1x1 conv is a per-pixel linear map and
+    trilinear interpolation a per-channel linear map, so they commute
+    exactly — running the ``a`` slice at the COARSE resolution does
+    (t_scale*4)x fewer MACs for that half of the kernel. Parameter tree is
+    identical to ``Conv(features, (1,1,1), use_bias=False)``."""
+
+    features: int
+    t_scale: float
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+        in_a, in_b = a.shape[-1], b.shape[-1]
+        kernel = _ConvKernel((1, 1, 1, in_a + in_b, self.features),
+                             name="conv")()
+        ka, kb = kernel[..., :in_a, :], kernel[..., in_a:, :]
+        if self.dtype is not None:
+            a, b = a.astype(self.dtype), b.astype(self.dtype)
+            ka, kb = ka.astype(self.dtype), kb.astype(self.dtype)
+        dn = ("NTHWC", "THWIO", "NTHWC")
+        ya = jax.lax.conv_general_dilated(a, ka, (1, 1, 1), [(0, 0)] * 3,
+                                          dimension_numbers=dn)
+        yb = jax.lax.conv_general_dilated(b, kb, (1, 1, 1), [(0, 0)] * 3,
+                                          dimension_numbers=dn)
+        return upsample_trilinear(ya, (self.t_scale, 2.0, 2.0)) + yb
 
 
 class SqueezeExpandTrunk(nn.Module):
@@ -100,22 +146,13 @@ class SqueezeExpandTrunk(nn.Module):
         x8 = conv_block(f8, self.inter_channels[2], 0, "block_8x", 0)
         x4 = conv_block(f4, self.inter_channels[3], None, "block_4x", 0)
 
-        # expand cascade
-        x = upsample_trilinear(x32, (t_scales[0], 2, 2))
-        x = jnp.concatenate([x, x16], axis=-1)
-        x = Conv(self.inter_channels[1], (1, 1, 1), use_bias=False, dtype=self.dtype,
-                 name="conv_16")(x)
-
-        x = upsample_trilinear(x, (t_scales[1], 2, 2))
-        x = jnp.concatenate([x, x8], axis=-1)
-        x = Conv(self.inter_channels[2], (1, 1, 1), use_bias=False, dtype=self.dtype,
-                 name="conv_8")(x)
-
-        x = upsample_trilinear(x, (t_scales[2], 2, 2))
-        x = jnp.concatenate([x, x4], axis=-1)
-        x = Conv(self.inter_channels[3], (1, 1, 1), use_bias=False, dtype=self.dtype,
-                 name="conv_4")(x)
-
+        # expand cascade (split-kernel formulation, see FuseConv)
+        x = FuseConv(self.inter_channels[1], t_scales[0], dtype=self.dtype,
+                     name="conv_16")(x32, x16)
+        x = FuseConv(self.inter_channels[2], t_scales[1], dtype=self.dtype,
+                     name="conv_8")(x, x8)
+        x = FuseConv(self.inter_channels[3], t_scales[2], dtype=self.dtype,
+                     name="conv_4")(x, x4)
         return x
 
 
@@ -253,15 +290,12 @@ class DilatedSqueezeExpandTrunk(nn.Module):
         x8 = conv_block(f8, self.inter_channels[2], 0, "block_8x")
         x4 = conv_block(f4, self.inter_channels[3], None, "block_4x")
 
-        x = upsample_trilinear(x32, (t_scales[0], 2, 2))
-        x = Conv(self.inter_channels[1], (1, 1, 1), use_bias=False,
-                 dtype=self.dtype, name="conv_16")(jnp.concatenate([x, x16], -1))
-        x = upsample_trilinear(x, (t_scales[1], 2, 2))
-        x = Conv(self.inter_channels[2], (1, 1, 1), use_bias=False,
-                 dtype=self.dtype, name="conv_8")(jnp.concatenate([x, x8], -1))
-        x = upsample_trilinear(x, (t_scales[2], 2, 2))
-        x = Conv(self.inter_channels[3], (1, 1, 1), use_bias=False,
-                 dtype=self.dtype, name="conv_4")(jnp.concatenate([x, x4], -1))
+        x = FuseConv(self.inter_channels[1], t_scales[0], dtype=self.dtype,
+                     name="conv_16")(x32, x16)
+        x = FuseConv(self.inter_channels[2], t_scales[1], dtype=self.dtype,
+                     name="conv_8")(x, x8)
+        x = FuseConv(self.inter_channels[3], t_scales[2], dtype=self.dtype,
+                     name="conv_4")(x, x4)
         return x
 
 
