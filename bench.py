@@ -88,11 +88,12 @@ def bench_forward(cfg, variables, model, dtype_name="fp32"):
     return n / dt, mfu
 
 
-def bench_e2e(cfg, variables):
+def bench_e2e(cfg, variables, dtype=None):
     """Fused one-jit pipeline (the CLI path): whole sequence -> labels in
     <=3 host round-trips. Wall fps (best AND median of 5 — tunnel transfer
     bandwidth varies 10x run to run) plus the on-chip number with frames
-    pre-staged in HBM and outputs left on device."""
+    pre-staged in HBM and outputs left on device. ``dtype=bfloat16``
+    measures the CLI's ``--bf16`` path (device fps only, skip wall)."""
     import jax
 
     from stemseg_tpu.inference.clustering import ClusterParams
@@ -107,7 +108,7 @@ def bench_e2e(cfg, variables):
     frames = (rng.rand(t_total, h0, w0, 3) * 255).astype(np.uint8)
     windows, _ = get_subsequence_frames(t_total, cfg.input.num_frames, 6)
 
-    engine = InferenceEngine(cfg, variables)
+    engine = InferenceEngine(cfg, variables, dtype=dtype)
     params = ClusterParams(
         primary_prob_thresh=cfg.clustering.primary_prob_threshold,
         secondary_prob_thresh=cfg.clustering.secondary_prob_threshold,
@@ -117,17 +118,21 @@ def bench_e2e(cfg, variables):
         free_dim_stds=tuple(cfg.training.losses.embedding.free_dim_stds))
     pipe = FusedSequencePipeline(engine, params)
 
-    def run_wall():
-        return pipe.run(frames, windows, resize_hw=(480, 854))[0]
+    if dtype is None:
+        def run_wall():
+            return pipe.run(frames, windows, resize_hw=(480, 854))[0]
 
-    run_wall()  # warmup / compile
-    times = []
-    for _ in range(5):
-        start = time.perf_counter()
-        run_wall()
-        times.append(time.perf_counter() - start)
-    times.sort()
-    wall_best, wall_median = t_total / times[0], t_total / times[len(times) // 2]
+        run_wall()  # warmup / compile
+        times = []
+        for _ in range(5):
+            start = time.perf_counter()
+            run_wall()
+            times.append(time.perf_counter() - start)
+        times.sort()
+        wall_best = t_total / times[0]
+        wall_median = t_total / times[len(times) // 2]
+    else:
+        wall_best = wall_median = None
 
     # on-chip: frames pre-staged in HBM, outputs stay on device (the two
     # association round-trips and the tiny inters fetch remain — they are
@@ -165,9 +170,12 @@ def main():
                            np.zeros((1, cfg.input.num_frames, 64, 96, 3), np.float32))
     variables = jax.device_put(variables)
 
+    import jax.numpy as jnp
+
     clips_fp32, mfu_fp32 = bench_forward(cfg, variables, model, "fp32")
     clips_bf16, mfu_bf16 = bench_forward(cfg, variables, model, "bf16")
     e2e_fps, e2e_fps_median, e2e_device_fps = bench_e2e(cfg, variables)
+    _, _, e2e_device_fps_bf16 = bench_e2e(cfg, variables, dtype=jnp.bfloat16)
 
     print(json.dumps({
         "metric": "480p_8frame_clips_per_sec_per_chip",
@@ -181,6 +189,7 @@ def main():
         "e2e_pipeline_fps": round(e2e_fps, 2),
         "e2e_pipeline_fps_median": round(e2e_fps_median, 2),
         "e2e_device_fps": round(e2e_device_fps, 2),
+        "e2e_device_fps_bf16": round(e2e_device_fps_bf16, 2),
     }))
 
 

@@ -1,0 +1,144 @@
+"""Unsupervised DAVIS J&F evaluation.
+
+Semantics follow the official ``davis2017-evaluation`` package (the
+oracle the reference's README points users to — this repo's reference
+ships no scorer):
+
+* **J (region similarity)** — per-frame intersection-over-union between a
+  ground-truth object mask and a predicted mask.
+* **F (boundary accuracy)** — per-frame F-measure between the mask
+  boundaries: boundary pixels are extracted by mask != its 1-pixel
+  erosion, each side is dilated by a disk of radius
+  ``ceil(bound_th * diag)`` (bound_th 0.008), and precision/recall are
+  computed on the dilated matches.
+* **Unsupervised protocol** — predictions are unordered proposals; each
+  ground-truth object is assigned the proposal maximizing mean (J+F)/2
+  over frames via Hungarian matching, extra proposals are ignored, and
+  unmatched objects score 0.
+
+Per-object J/F means are averaged over objects (and sequences) into the
+global J-mean, F-mean and J&F.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Sequence, Tuple
+
+import cv2
+import numpy as np
+from scipy.optimize import linear_sum_assignment
+
+
+def db_eval_iou(gt: np.ndarray, pred: np.ndarray) -> np.ndarray:
+    """Per-frame IoU. ``gt``/``pred``: [T, H, W] bool/uint8.
+
+    Frames where both masks are empty score 1.0 (the official convention:
+    absent object correctly absent)."""
+    gt = gt.astype(bool)
+    pred = pred.astype(bool)
+    inter = np.logical_and(gt, pred).sum(axis=(1, 2)).astype(np.float64)
+    union = np.logical_or(gt, pred).sum(axis=(1, 2)).astype(np.float64)
+    j = np.where(union > 0, inter / np.maximum(union, 1.0), 1.0)
+    return j
+
+
+def _seg2bmap(mask: np.ndarray) -> np.ndarray:
+    """Boundary map of a binary mask: pixels that are set but have an unset
+    4-neighbour (or lie on the image border while set)."""
+    mask = mask.astype(bool)
+    padded = np.pad(mask, 1, mode="constant", constant_values=False)
+    core = (padded[1:-1, 1:-1] & padded[:-2, 1:-1] & padded[2:, 1:-1]
+            & padded[1:-1, :-2] & padded[1:-1, 2:])
+    return mask & ~core
+
+
+def db_eval_boundary(gt: np.ndarray, pred: np.ndarray,
+                     bound_th: float = 0.008) -> np.ndarray:
+    """Per-frame boundary F-measure. ``gt``/``pred``: [T, H, W]."""
+    t, h, w = gt.shape
+    radius = int(np.ceil(bound_th * np.sqrt(h * h + w * w)))
+    kernel = cv2.getStructuringElement(
+        cv2.MORPH_ELLIPSE, (2 * radius + 1, 2 * radius + 1))
+    out = np.empty(t, np.float64)
+    for i in range(t):
+        gb = _seg2bmap(np.asarray(gt[i], bool))
+        pb = _seg2bmap(np.asarray(pred[i], bool))
+        n_g, n_p = int(gb.sum()), int(pb.sum())
+        if n_g == 0 and n_p == 0:
+            out[i] = 1.0
+            continue
+        if n_g == 0 or n_p == 0:
+            out[i] = 0.0
+            continue
+        gd = cv2.dilate(gb.astype(np.uint8), kernel) > 0
+        pd = cv2.dilate(pb.astype(np.uint8), kernel) > 0
+        precision = float((pb & gd).sum()) / n_p
+        recall = float((gb & pd).sum()) / n_g
+        out[i] = (0.0 if precision + recall == 0
+                  else 2 * precision * recall / (precision + recall))
+    return out
+
+
+def evaluate_davis_sequence(gt_masks: Sequence[np.ndarray],
+                            pred_masks: Sequence[np.ndarray],
+                            bound_th: float = 0.008
+                            ) -> Tuple[List[float], List[float]]:
+    """Score one sequence under the unsupervised protocol.
+
+    :param gt_masks: per ground-truth object, [T, H, W] masks
+    :param pred_masks: per predicted proposal, [T, H, W] masks (unordered)
+    :return: (per-object J means, per-object F means) — one entry per
+        ground-truth object (0.0 where unmatched)
+    """
+    n_gt, n_pr = len(gt_masks), len(pred_masks)
+    if n_gt == 0:
+        return [], []
+    j = np.zeros((n_gt, n_pr))
+    f = np.zeros((n_gt, n_pr))
+    for gi in range(n_gt):
+        for pi in range(n_pr):
+            j[gi, pi] = float(np.mean(db_eval_iou(gt_masks[gi],
+                                                  pred_masks[pi])))
+            f[gi, pi] = float(np.mean(db_eval_boundary(
+                gt_masks[gi], pred_masks[pi], bound_th)))
+    j_means = [0.0] * n_gt
+    f_means = [0.0] * n_gt
+    if n_pr:
+        rows, cols = linear_sum_assignment(-(j + f) / 2.0)
+        for gi, pi in zip(rows, cols):
+            j_means[gi] = j[gi, pi]
+            f_means[gi] = f[gi, pi]
+    return j_means, f_means
+
+
+def evaluate_davis(gt_by_sequence: Dict[str, Sequence[np.ndarray]],
+                   pred_by_sequence: Dict[str, Sequence[np.ndarray]],
+                   bound_th: float = 0.008) -> Dict[str, float]:
+    """Global unsupervised J&F over sequences; per-object scores pooled
+    before averaging (the official global mean)."""
+    all_j: List[float] = []
+    all_f: List[float] = []
+    for seq, gt in gt_by_sequence.items():
+        preds = pred_by_sequence.get(seq, [])
+        j_means, f_means = evaluate_davis_sequence(gt, preds, bound_th)
+        all_j.extend(j_means)
+        all_f.extend(f_means)
+    j_mean = float(np.mean(all_j)) if all_j else 0.0
+    f_mean = float(np.mean(all_f)) if all_f else 0.0
+    return {"J_mean": j_mean, "F_mean": f_mean,
+            "J&F": (j_mean + f_mean) / 2.0}
+
+
+def load_davis_results_dir(results_dir: str) -> List[np.ndarray]:
+    """Read one sequence's indexed-palette PNGs (the DAVIS writer output,
+    ``inference/output_utils/davis.py``) into per-proposal mask volumes."""
+    import os
+
+    from PIL import Image
+
+    frames = sorted(fn for fn in os.listdir(results_dir)
+                    if fn.endswith(".png"))
+    vol = np.stack([np.array(Image.open(os.path.join(results_dir, fn)))
+                    for fn in frames])
+    ids = sorted(int(v) for v in np.unique(vol) if v != 0)
+    return [(vol == i) for i in ids]

@@ -1,0 +1,149 @@
+"""Evaluation CLI: score inference outputs against the ground-truth JSON.
+
+The reference has no scorer — its README defers to the official external
+tools. This CLI closes that loop in-repo:
+
+  python -m stemseg_tpu.eval.main --dataset davis --results OUT/results
+  python -m stemseg_tpu.eval.main --dataset ytvis --results OUT/results.json
+  python -m stemseg_tpu.eval.main --dataset kittimots --results OUT
+
+Ground truth comes from the same generic video JSONs + env-var paths the
+inference CLI reads (``stemseg_tpu/data/paths.py``). Prints one JSON line
+of metrics (J&F / AP / sMOTSA families).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+import numpy as np
+
+
+def _gt_object_volumes(seq):
+    """[per-object [T, H, W] uint8 volumes] for one GenericVideoSequence."""
+    per_frame = seq.load_masks()  # [T][num_instances]
+    vols = []
+    for k in range(len(seq.instance_ids)):
+        vols.append(np.stack([per_frame[t][k] for t in range(len(seq))]))
+    return vols
+
+
+def eval_davis(results_dir: str, seqs=None) -> dict:
+    from stemseg_tpu.data.parsers import parse_generic_video_dataset
+    from stemseg_tpu.data.paths import DavisUnsupervisedPaths
+    from stemseg_tpu.eval.davis import evaluate_davis, load_davis_results_dir
+
+    sequences, _ = parse_generic_video_dataset(
+        DavisUnsupervisedPaths.trainval_base_dir(),
+        DavisUnsupervisedPaths.val_vds_file())
+    gt, pred = {}, {}
+    for seq in sequences:
+        if seqs and seq.id not in seqs:
+            continue
+        seq_dir = os.path.join(results_dir, seq.id)
+        gt[seq.id] = _gt_object_volumes(seq)
+        pred[seq.id] = (load_davis_results_dir(seq_dir)
+                        if os.path.isdir(seq_dir) else [])
+    return evaluate_davis(gt, pred)
+
+
+def eval_ytvis(results_json: str, seqs=None) -> dict:
+    from stemseg_tpu.data.parsers import parse_generic_video_dataset
+    from stemseg_tpu.data.paths import YoutubeVISPaths
+    from stemseg_tpu.eval.ytvis import evaluate_ytvis, load_ytvis_results_json
+
+    sequences, _ = parse_generic_video_dataset(
+        YoutubeVISPaths.val_base_dir(), YoutubeVISPaths.val_vds_file())
+    gt_tracks = []
+    for seq in sequences:
+        if seqs and seq.id not in seqs:
+            continue
+        vols = _gt_object_volumes(seq)
+        for k, iid in enumerate(seq.instance_ids):
+            gt_tracks.append({
+                "video": seq.id,
+                "category": seq.instance_categories[iid],
+                "masks": list(vols[k]),
+            })
+    preds = load_ytvis_results_json(results_json)
+    if seqs:
+        preds = [p for p in preds if p["video"] in seqs]
+    return evaluate_ytvis(gt_tracks, preds)
+
+
+def eval_kittimots(results_dir: str, seqs=None) -> dict:
+    """Aggregate CLEAR-MOTS over sequences: GT from the generic JSON
+    (category 3 = ignore regions -> per-frame ignore masks, reference
+    ``mots_data_loader.py:100-115``), hypotheses from the writer's txt."""
+    from stemseg_tpu.data.parsers import parse_generic_video_dataset
+    from stemseg_tpu.data.paths import KITTIMOTSPaths
+    from stemseg_tpu.eval.mots import evaluate_mots, parse_mots_txt
+
+    sequences, _ = parse_generic_video_dataset(
+        KITTIMOTSPaths.train_images_dir(), KITTIMOTSPaths.val_vds_file())
+
+    totals = {"TP": 0, "FP": 0, "FN": 0, "IDS": 0, "soft_TP": 0.0,
+              "num_gt": 0}
+    for seq in sequences:
+        if seqs and seq.id not in seqs:
+            continue
+        txt = os.path.join(results_dir, f"{seq.id}.txt")
+        hyp = parse_mots_txt(txt) if os.path.exists(txt) else []
+        t_total = len(seq)
+        hyp += [{} for _ in range(t_total - len(hyp))]
+
+        per_frame = seq.load_masks()
+        gt_frames, ignore_frames = [], []
+        for t in range(t_total):
+            gt_t, ignore_t = {}, None
+            for k, iid in enumerate(seq.instance_ids):
+                if seq.instance_categories[iid] == 3:  # ignore region
+                    m = per_frame[t][k].astype(bool)
+                    ignore_t = m if ignore_t is None else (ignore_t | m)
+                elif per_frame[t][k].any():
+                    gt_t[iid] = per_frame[t][k]
+            gt_frames.append(gt_t)
+            ignore_frames.append(ignore_t)
+
+        res = evaluate_mots(gt_frames, hyp[:t_total], ignore_frames)
+        for k in totals:
+            totals[k] += res[k]
+
+    num_gt, tp = totals["num_gt"], totals["TP"]
+    return {
+        "sMOTSA": (totals["soft_TP"] - totals["FP"] - totals["IDS"]) / num_gt
+        if num_gt else 0.0,
+        "MOTSA": (tp - totals["FP"] - totals["IDS"]) / num_gt
+        if num_gt else 0.0,
+        "MOTSP": totals["soft_TP"] / tp if tp else 0.0,
+        **totals,
+    }
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description="STEm-Seg TPU evaluation")
+    parser.add_argument("--dataset", "-d", required=True,
+                        choices=("davis", "ytvis", "kittimots"))
+    parser.add_argument("--results", "-r", required=True,
+                        help="davis: results dir of per-sequence PNG dirs; "
+                             "ytvis: results.json; kittimots: dir of "
+                             "per-sequence txt files")
+    parser.add_argument("--seqs", nargs="*", required=False)
+    args = parser.parse_args(argv)
+
+    if args.dataset == "davis":
+        metrics = eval_davis(args.results, args.seqs)
+    elif args.dataset == "ytvis":
+        metrics = eval_ytvis(args.results, args.seqs)
+    else:
+        metrics = eval_kittimots(args.results, args.seqs)
+
+    print(json.dumps({k: (round(v, 4) if isinstance(v, float) else v)
+                      for k, v in metrics.items()}))
+    return metrics
+
+
+if __name__ == "__main__":
+    main()

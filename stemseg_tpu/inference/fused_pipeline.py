@@ -296,7 +296,11 @@ class FusedSequencePipeline:
                 wmap = semseg if eng.semseg_head is not None else seed
                 acc = acc.at[x["scatter_tgt"]].add(wmap.astype(jnp.float32))
                 cnt = cnt.at[x["scatter_tgt"]].add(1.0)
-                return (rings, acc, cnt), (emb, bw, seed)
+                # fp32 regardless of engine dtype: clustering/averaging stay
+                # fp32 under --bf16, and the skip branch emits fp32 zeros
+                return (rings, acc, cnt), (emb.astype(jnp.float32),
+                                           bw.astype(jnp.float32),
+                                           seed.astype(jnp.float32))
 
             def skip(args):
                 rings, acc, cnt = args

@@ -323,6 +323,10 @@ def main(argv=None):
                              "by point count (reference ClustererBase "
                              "semantics; forces the streaming path and a "
                              "sync per window)")
+    parser.add_argument("--profile", metavar="DIR", required=False,
+                        help="capture a jax.profiler device trace of the "
+                             "whole run into DIR (view with TensorBoard's "
+                             "profile plugin / xprof)")
     args = parser.parse_args(argv)
 
     cfg = load_inference_cfg(args.model_path, args.dataset, args.min_dim,
@@ -381,7 +385,16 @@ def main(argv=None):
         resize_embeddings=args.resize_embeddings,
         bf16=args.bf16, profile_clustering=args.profile_clustering)
 
-    generator.start(sequences, args.seqs)
+    import contextlib
+
+    if args.profile:
+        import jax
+
+        trace_ctx = jax.profiler.trace(args.profile)
+    else:
+        trace_ctx = contextlib.nullcontext()
+    with trace_ctx:
+        generator.start(sequences, args.seqs)
     output_generator.save()
     print(f"Results saved to {output_dir}")
 

@@ -177,8 +177,19 @@ class Trainer:
         sub_iter = 0
         metrics_accum = {}
 
+        # bounded jax.profiler capture: trace starts after the compile
+        # iteration and stops after --profile_steps optimizer steps
+        profile_dir = getattr(self.args, "profile", None)
+        profile_steps = getattr(self.args, "profile_steps", 5)
+        profile_started = profile_stopped = profile_dir is None
+
         try:
             for batch in loader:
+                if not profile_started and sub_iter >= self.accumulate_steps:
+                    jax.profiler.start_trace(profile_dir)
+                    profile_started = True
+                    profile_until = self.elapsed_iterations + profile_steps
+
                 device_batch = {k: jnp.asarray(v) for k, v in batch.items()
                                 if k in ("images", "masks", "ignore_masks", "category_ids")}
                 if self.mesh is not None:
@@ -193,6 +204,13 @@ class Trainer:
                     continue
 
                 self.elapsed_iterations += 1
+                if (profile_started and not profile_stopped
+                        and self.elapsed_iterations >= profile_until):
+                    # drain in-flight work so the trace captures full steps
+                    jax.block_until_ready(metrics)
+                    jax.profiler.stop_trace()
+                    profile_stopped = True
+                    print(f"Profile trace written to {profile_dir}")
                 self.interrupt.raise_if_interrupted()
 
                 if self.elapsed_iterations % self.args.display_interval == 0:
@@ -228,6 +246,12 @@ class Trainer:
             print("Exception during training — checkpointing before re-raise")
             self.backup_session()
             raise
+        finally:
+            if profile_started and not profile_stopped:
+                import jax.profiler
+
+                jax.profiler.stop_trace()
+                profile_stopped = True
 
         print("Training complete")
         self.backup_session()
@@ -247,6 +271,11 @@ def make_parser() -> argparse.ArgumentParser:
     parser.add_argument("--save_interval", type=int, default=10000)
     parser.add_argument("--num_cpu_workers", type=int, default=8)
     parser.add_argument("--ckpts_to_keep", type=int, default=2)
+    parser.add_argument("--profile", metavar="DIR", required=False,
+                        help="capture a jax.profiler trace of --profile_steps "
+                             "optimizer steps (after the compile step) into "
+                             "DIR; view with TensorBoard's profile plugin")
+    parser.add_argument("--profile_steps", type=int, default=5)
     parser.add_argument("--remat", action="store_true",
                         help="jax.checkpoint the backbone (HBM for recompute; "
                              "use for 16-frame full-res configs)")

@@ -1,0 +1,239 @@
+"""Evaluation metrics (stemseg_tpu.eval): hand-computed J / F / sMOTSA / AP
+values on synthetic masks, plus format round-trips through the writers'
+file formats."""
+
+import numpy as np
+import pytest
+
+from stemseg_tpu.eval.davis import (
+    db_eval_boundary,
+    db_eval_iou,
+    evaluate_davis,
+    evaluate_davis_sequence,
+)
+from stemseg_tpu.eval.mots import evaluate_mots, parse_mots_txt
+from stemseg_tpu.eval.ytvis import evaluate_ytvis, st_mask_iou
+
+
+def _rect(h, w, r0, r1, c0, c1):
+    m = np.zeros((h, w), np.uint8)
+    m[r0:r1, c0:c1] = 1
+    return m
+
+
+# ---------------------------------------------------------------------------
+# DAVIS J&F
+# ---------------------------------------------------------------------------
+
+
+def test_j_exact_values():
+    gt = np.stack([_rect(20, 20, 0, 10, 0, 10)])          # 100 px
+    pred = np.stack([_rect(20, 20, 0, 10, 5, 15)])        # overlap 50, union 150
+    np.testing.assert_allclose(db_eval_iou(gt, pred), [50.0 / 150.0])
+
+    # both empty -> 1.0; one empty -> 0.0
+    empty = np.zeros((1, 20, 20), np.uint8)
+    np.testing.assert_allclose(db_eval_iou(empty, empty), [1.0])
+    np.testing.assert_allclose(db_eval_iou(gt, empty), [0.0])
+
+
+def test_f_identical_and_disjoint():
+    m = np.stack([_rect(64, 64, 10, 30, 10, 30)])
+    np.testing.assert_allclose(db_eval_boundary(m, m), [1.0])
+    far = np.stack([_rect(64, 64, 40, 60, 40, 60)])
+    assert db_eval_boundary(m, far)[0] < 0.2
+    # empty/empty -> 1, one-sided -> 0
+    empty = np.zeros((1, 64, 64), np.uint8)
+    np.testing.assert_allclose(db_eval_boundary(empty, empty), [1.0])
+    np.testing.assert_allclose(db_eval_boundary(m, empty), [0.0])
+
+
+def test_f_tolerates_small_shift():
+    """A 1-px shift stays within the dilation radius at 64x64 (radius
+    ceil(0.008*diag)=1), so F stays 1.0."""
+    a = np.stack([_rect(64, 64, 10, 30, 10, 30)])
+    b = np.stack([_rect(64, 64, 10, 30, 11, 31)])
+    np.testing.assert_allclose(db_eval_boundary(a, b), [1.0])
+
+
+def test_unsupervised_matching_swapped_proposals():
+    """Two objects, proposals given in swapped order -> Hungarian recovers
+    the right assignment; a third junk proposal is ignored."""
+    o1 = np.stack([_rect(32, 32, 2, 10, 2, 10)] * 3)
+    o2 = np.stack([_rect(32, 32, 20, 30, 20, 30)] * 3)
+    junk = np.stack([_rect(32, 32, 0, 2, 30, 32)] * 3)
+    j_means, f_means = evaluate_davis_sequence([o1, o2], [o2, junk, o1])
+    np.testing.assert_allclose(j_means, [1.0, 1.0])
+    np.testing.assert_allclose(f_means, [1.0, 1.0])
+
+    # unmatched object scores 0
+    j_means, f_means = evaluate_davis_sequence([o1, o2], [o1])
+    np.testing.assert_allclose(j_means, [1.0, 0.0])
+
+
+def test_evaluate_davis_global_mean():
+    o1 = np.stack([_rect(32, 32, 2, 10, 2, 10)] * 2)
+    half = np.stack([_rect(32, 32, 2, 10, 2, 6)] * 2)  # J = 32/64 = 0.5
+    res = evaluate_davis({"a": [o1]}, {"a": [half]})
+    np.testing.assert_allclose(res["J_mean"], 0.5)
+    assert 0.0 < res["J&F"] <= 1.0
+
+
+def test_davis_results_dir_loader(tmp_path):
+    from PIL import Image
+
+    from stemseg_tpu.eval.davis import load_davis_results_dir
+    from stemseg_tpu.utils.vis import create_color_map
+
+    seq = tmp_path / "seqA"
+    seq.mkdir()
+    for t in range(2):
+        arr = np.zeros((8, 10), np.uint8)
+        arr[2:5, 3:7] = 1
+        arr[6:8, 0:2] = 2
+        img = Image.fromarray(arr, mode="P")
+        img.putpalette(create_color_map().flatten().tolist())
+        img.save(seq / f"{t:05d}.png")
+    masks = load_davis_results_dir(str(seq))
+    assert len(masks) == 2
+    assert masks[0].shape == (2, 8, 10)
+    assert masks[0].sum() == 2 * 12 and masks[1].sum() == 2 * 4
+
+
+# ---------------------------------------------------------------------------
+# KITTI-MOTS CLEAR-MOTS
+# ---------------------------------------------------------------------------
+
+
+def test_smotsa_perfect():
+    g = [{1: _rect(16, 16, 0, 8, 0, 8)}, {1: _rect(16, 16, 0, 8, 0, 8)}]
+    res = evaluate_mots(g, [{7: g[0][1]}, {7: g[1][1]}])
+    assert res["TP"] == 2 and res["FP"] == 0 and res["IDS"] == 0
+    np.testing.assert_allclose(res["sMOTSA"], 1.0)
+    np.testing.assert_allclose(res["MOTSP"], 1.0)
+
+
+def test_smotsa_id_switch_and_fp():
+    m = _rect(16, 16, 0, 8, 0, 8)
+    other = _rect(16, 16, 10, 16, 10, 16)
+    # frame 0: hyp 7 matches gt 1; frame 1: hyp 8 matches gt 1 (id switch)
+    # plus an unmatched hypothesis (FP) in frame 1
+    g = [{1: m}, {1: m}]
+    h = [{7: m}, {8: m, 9: other}]
+    res = evaluate_mots(g, h)
+    assert res["TP"] == 2 and res["IDS"] == 1 and res["FP"] == 1
+    # sMOTSA = (2.0 - 1 - 1) / 2 = 0.0
+    np.testing.assert_allclose(res["sMOTSA"], 0.0)
+    # MOTSA = (2 - 1 - 1) / 2 = 0.0
+    np.testing.assert_allclose(res["MOTSA"], 0.0)
+
+
+def test_smotsa_soft_iou_and_fn():
+    gt_m = _rect(16, 16, 0, 8, 0, 16)       # 128 px
+    hyp_m = _rect(16, 16, 0, 8, 0, 12)      # 96 px, inter 96, union 128
+    g = [{1: gt_m, 2: _rect(16, 16, 12, 16, 0, 4)}]
+    h = [{7: hyp_m}]
+    res = evaluate_mots(g, h)
+    assert res["TP"] == 1 and res["FN"] == 1
+    np.testing.assert_allclose(res["soft_TP"], 96.0 / 128.0)
+    np.testing.assert_allclose(res["sMOTSA"], (96.0 / 128.0) / 2.0)
+
+
+def test_ignore_region_suppresses_fp():
+    m = _rect(16, 16, 0, 8, 0, 8)
+    ignore = _rect(16, 16, 0, 8, 0, 8)
+    res = evaluate_mots([{}], [{7: m}], [ignore])
+    assert res["FP"] == 0
+    res = evaluate_mots([{}], [{7: m}], [None])
+    assert res["FP"] == 1
+
+
+def test_parse_mots_txt_roundtrip(tmp_path):
+    from stemseg_tpu.utils import rle as rle_codec
+
+    m0 = _rect(12, 14, 2, 6, 3, 9)
+    m1 = _rect(12, 14, 0, 4, 0, 4)
+    lines = []
+    for t, (tid, m) in enumerate([(2001, m0), (2001, m1)]):
+        enc = rle_codec.encode(m)
+        lines.append(f"{t} {tid} 2 12 14 {enc['counts'].decode()}")
+    p = tmp_path / "0002.txt"
+    p.write_text("\n".join(lines) + "\n")
+    frames = parse_mots_txt(str(p))
+    assert len(frames) == 2
+    np.testing.assert_array_equal(frames[0][2001], m0)
+    np.testing.assert_array_equal(frames[1][2001], m1)
+
+
+# ---------------------------------------------------------------------------
+# YT-VIS AP
+# ---------------------------------------------------------------------------
+
+
+def test_st_mask_iou():
+    a = [_rect(8, 8, 0, 4, 0, 8), _rect(8, 8, 0, 4, 0, 8)]   # 32+32
+    b = [_rect(8, 8, 0, 4, 0, 4), None]                      # 16+0
+    # inter = 16 + 0, union = 32 + 32
+    np.testing.assert_allclose(st_mask_iou(a, b), 16.0 / 64.0)
+
+
+def test_ytvis_ap_perfect_and_half():
+    m = _rect(16, 16, 0, 8, 0, 8)
+    gt = [{"video": "v", "category": 1, "masks": [m, m]}]
+    pred_perfect = [{"video": "v", "category": 1, "score": 0.9,
+                     "masks": [m, m]}]
+    res = evaluate_ytvis(gt, pred_perfect)
+    np.testing.assert_allclose(res["AP"], 1.0)
+    np.testing.assert_allclose(res["AP50"], 1.0)
+
+    # IoU 0.6 prediction: matches at thresholds .50/.55/.60 only
+    # -> AP = 3/10, AP50 = 1, AP75 = 0
+    m6 = _rect(16, 16, 0, 8, 0, 5)   # inter 40, union... 64+40-40=64 -> 0.625
+    pred_part = [{"video": "v", "category": 1, "score": 0.9,
+                  "masks": [m6, m6]}]
+    res = evaluate_ytvis(gt, pred_part)
+    np.testing.assert_allclose(res["AP50"], 1.0)
+    np.testing.assert_allclose(res["AP75"], 0.0)
+    np.testing.assert_allclose(res["AP"], 3.0 / 10.0)
+
+
+def test_ytvis_ap_ranking():
+    """A high-scored FP above a TP halves interpolated precision at full
+    recall; with one GT, AP50 = precision at the TP = 0.5."""
+    m = _rect(16, 16, 0, 8, 0, 8)
+    far = _rect(16, 16, 10, 16, 10, 16)
+    gt = [{"video": "v", "category": 1, "masks": [m]}]
+    preds = [
+        {"video": "v", "category": 1, "score": 0.9, "masks": [far]},  # FP
+        {"video": "v", "category": 1, "score": 0.5, "masks": [m]},    # TP
+    ]
+    res = evaluate_ytvis(gt, preds)
+    np.testing.assert_allclose(res["AP50"], 0.5)
+
+
+def test_ytvis_category_averaging():
+    m = _rect(16, 16, 0, 8, 0, 8)
+    gt = [{"video": "v", "category": 1, "masks": [m]},
+          {"video": "v", "category": 2, "masks": [m]}]
+    preds = [{"video": "v", "category": 1, "score": 0.9, "masks": [m]}]
+    res = evaluate_ytvis(gt, preds)  # cat 1 perfect, cat 2 zero
+    np.testing.assert_allclose(res["AP"], 0.5)
+
+
+def test_ytvis_results_json_loader(tmp_path):
+    import json
+
+    from stemseg_tpu.eval.ytvis import load_ytvis_results_json
+    from stemseg_tpu.utils import rle as rle_codec
+
+    m = _rect(10, 12, 2, 6, 3, 9)
+    enc = rle_codec.encode(m)
+    enc["counts"] = enc["counts"].decode("utf-8")
+    entries = [{"video_id": "v1", "score": 0.7, "category_id": 3,
+                "segmentations": [enc, None]}]
+    p = tmp_path / "results.json"
+    p.write_text(json.dumps(entries))
+    tracks = load_ytvis_results_json(str(p))
+    assert tracks[0]["video"] == "v1" and tracks[0]["category"] == 3
+    np.testing.assert_array_equal(tracks[0]["masks"][0], m)
+    assert tracks[0]["masks"][1] is None

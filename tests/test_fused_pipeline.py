@@ -217,3 +217,24 @@ def test_run_batch_sharded_matches_per_sequence(setup):
             assert got[4] is None
         else:
             np.testing.assert_allclose(want[4], got[4], rtol=1e-6, atol=1e-6)
+
+
+def test_fused_bf16_engine(setup):
+    """The CLI's --bf16 path drives the fused pipeline with a bf16 engine
+    (regression: the scan skip-branch zeros are fp32, so head outputs must
+    be cast back — a bf16 engine used to fail tracing). Labels must be a
+    valid partition and fg masks must closely agree with fp32."""
+    cfg, model, variables, frames = setup
+    windows, _ = get_subsequence_frames(len(frames), 4, 2)
+    params = _params(cfg)
+
+    eng16 = InferenceEngine(cfg, variables, dtype=jnp.bfloat16)
+    pipe16 = FusedSequencePipeline(eng16, params, backend="xla")
+    l16, counts16, _, fg16, _ = pipe16.run(frames, windows)
+
+    l32, counts32, _, fg32, _ = _fused(cfg, variables, frames, windows, params)
+
+    assert l16.shape == l32.shape and l16.dtype == np.int32
+    assert np.isfinite(fg16).all()
+    agree = np.mean(fg16 == fg32)
+    assert agree > 0.99, f"bf16 fg masks diverge from fp32: {agree:.4f}"

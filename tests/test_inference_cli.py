@@ -76,12 +76,19 @@ def test_inference_cli_davis(tmp_path, monkeypatch):
     monkeypatch.setenv("STEMSEG_JSON_ANNOTATIONS_DIR", ann_dir)
 
     out_dir = str(tmp_path / "out")
+    trace_dir = str(tmp_path / "trace")
     inference_main.main([ckpt, "-o", out_dir, "--dataset", "davis",
-                         "--max_tracks", "5", "--frame_overlap", "2"])
+                         "--max_tracks", "5", "--frame_overlap", "2",
+                         "--profile", trace_dir])
 
     result_dir = os.path.join(out_dir, "results", "seqA")
     files = sorted(os.listdir(result_dir))
     assert files == [f"{t:05d}.png" for t in range(6)]
+
+    # --profile wrote a jax.profiler trace (xplane protobuf)
+    traces = [f for _, _, fs in os.walk(trace_dir) for f in fs
+              if f.endswith(".xplane.pb")]
+    assert traces, "expected an .xplane.pb trace under --profile DIR"
 
     from PIL import Image
 

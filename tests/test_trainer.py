@@ -99,10 +99,12 @@ def test_trainer_end_to_end(tmp_path, tiny_cfg_file, monkeypatch):
     import stemseg_tpu.training.main as train_main
 
     model_dir = str(tmp_path / "run")
+    trace_dir = str(tmp_path / "trace")
     args = make_parser().parse_args([
         "--model_dir", model_dir, "--cfg", tiny_cfg_file,
         "--display_interval", "2", "--summary_interval", "2",
         "--save_interval", "10", "--num_cpu_workers", "2",
+        "--profile", trace_dir, "--profile_steps", "2",
     ])
 
     from stemseg_tpu.config import load_config
@@ -119,6 +121,11 @@ def test_trainer_end_to_end(tmp_path, tiny_cfg_file, monkeypatch):
     with open(metrics_path) as fh:
         records = [json.loads(l) for l in fh]
     assert records and "total" in records[0]
+
+    # --profile captured a bounded jax.profiler trace (xplane protobuf)
+    traces = [f for _, _, fs in os.walk(trace_dir) for f in fs
+              if f.endswith(".xplane.pb")]
+    assert traces, "expected an .xplane.pb trace under --profile DIR"
 
     # auto-resume: a new trainer in the same dir starts at iteration 4
     trainer2 = Trainer(cfg, model_dir, args)
