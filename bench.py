@@ -46,18 +46,6 @@ def sync_tiny(x):
     np.asarray(leaf.ravel()[:1])
 
 
-def _flops_of(fn, *args) -> float:
-    import jax
-
-    try:
-        ca = jax.jit(fn).lower(*args).compile().cost_analysis()
-        if isinstance(ca, (list, tuple)):
-            ca = ca[0]
-        return float(ca.get("flops", 0.0))
-    except Exception:
-        return 0.0
-
-
 def bench_forward(cfg, variables, model, dtype_name="fp32"):
     import jax
     import jax.numpy as jnp
@@ -70,7 +58,10 @@ def bench_forward(cfg, variables, model, dtype_name="fp32"):
 
     m = (model if dtype_name == "fp32"
          else build_model(cfg, for_training=False, dtype=jnp.bfloat16))
-    fwd = jax.jit(m.apply)
+    # AOT-compile once; the same executable serves both the timing loop and
+    # the FLOP count (a second jax.jit would recompile the whole graph
+    # through the remote-compile service)
+    fwd = jax.jit(m.apply).lower(variables, images).compile()
     out = fwd(variables, images)
     sync_tiny(out["embeddings"])
 
@@ -81,7 +72,13 @@ def bench_forward(cfg, variables, model, dtype_name="fp32"):
     sync_tiny(out["embeddings"])
     dt = (time.perf_counter() - start) / iters
 
-    flops = _flops_of(m.apply, variables, images)
+    try:
+        ca = fwd.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        flops = float(ca.get("flops", 0.0))
+    except Exception:
+        flops = 0.0
     dev_kind = jax.devices()[0].device_kind
     peak = _PEAK_TFLOPS.get(dev_kind, 0.0) * 1e12
     mfu = flops / dt / peak if (flops and peak) else None

@@ -7,9 +7,10 @@ imgaug): each call applies
 
 1. a photometric jitter to the source image — ``iaa.SomeOf((1, None))``
    semantics: n ∈ {1, 2} uniformly, that many of {brightness add,
-   hue+saturation add} chosen without replacement and applied in random
-   order; ``iaa.AddToHueAndSaturation`` draws ONE value shared by the hue
-   and saturation channels;
+   hue+saturation add} chosen without replacement and applied in LISTED
+   order (``random_order`` defaults to False, so brightness precedes
+   hue/sat whenever both fire); ``iaa.AddToHueAndSaturation`` draws ONE
+   value shared by the hue and saturation channels;
 2. one random geometric transform shared by image, masks and the
    validity map: optional perspective jitter matching
    ``iaa.PerspectiveTransform(scale, keep_size=True)`` — each corner moves
@@ -72,10 +73,13 @@ class ImageToSeqAugmenter:
     @staticmethod
     def _sample_photometric_ops() -> List[str]:
         # iaa.SomeOf((1, None), [...]): n uniform in {1, 2}, that many ops
-        # without replacement, RANDOM order
+        # chosen without replacement, applied in LISTED order (SomeOf's
+        # default random_order=False — brightness always precedes hue/sat
+        # when both are selected; they do not commute under uint8 clipping)
         ops = ["brightness", "hue_sat"]
-        random.shuffle(ops)
-        return ops[:random.randint(1, 2)]
+        n = random.randint(1, 2)
+        chosen = sorted(random.sample(range(len(ops)), n))
+        return [ops[i] for i in chosen]
 
     def _photometric(self, image: np.ndarray) -> np.ndarray:
         out = image

@@ -60,7 +60,7 @@ class _Schedule:
     """Static per-sequence schedule arrays (all numpy, shipped as traced
     inputs so one compile covers every sequence in the same bucket)."""
 
-    def __init__(self, windows: List[List[int]], t_total: int, k: int,
+    def __init__(self, windows: List[List[int]], k: int,
                  l_pad: int, w_pad: int):
         w_real = len(windows)
         t_win = len(windows[0])
@@ -92,6 +92,8 @@ class _Schedule:
             return list(lst) + [fill] * (n - len(lst))
 
         new_ids = []      # [W, S] frame to read (0 for trash slots)
+        has_new = []      # [W] window computes >=1 new frame (False for
+                          # window 0 — prelude did it — and padded windows)
         write_rows = []   # [W, S] ring row to write (trash for slots unused)
         gather_rows = []  # [W, T] ring rows for the heads gather
         scatter_tgt = []  # [W, T] semseg scatter frame (l_pad = trash)
@@ -111,6 +113,7 @@ class _Schedule:
                 win_frames.append(list(win))
                 gather_rows.append([t % ring for t in win])
                 new_ids.append(pad_list(new, s, 0))
+                has_new.append(len(new) > 0)
                 write_rows.append(pad_list([t % ring for t in new], s,
                                            self.trash_row))
                 scatter_tgt.append(list(win))
@@ -138,6 +141,7 @@ class _Schedule:
                 win_frames.append([0] * t_win)
                 gather_rows.append([0] * t_win)
                 new_ids.append([0] * s)
+                has_new.append(False)
                 write_rows.append([self.trash_row] * s)
                 scatter_tgt.append([l_pad] * t_win)
                 commit_tgt.append([l_pad] * t_win)
@@ -145,6 +149,7 @@ class _Schedule:
                 is_real.append(False)
 
         i32 = np.int32
+        self.has_new = np.asarray(has_new, bool)
         self.new_ids = np.asarray(new_ids, i32)
         self.write_rows = np.asarray(write_rows, i32)
         self.gather_rows = np.asarray(gather_rows, i32)
@@ -160,6 +165,7 @@ class _Schedule:
 
     def as_xs(self) -> Dict[str, np.ndarray]:
         return {
+            "has_new": self.has_new,
             "new_ids": self.new_ids,
             "write_rows": self.write_rows,
             "gather_rows": self.gather_rows,
@@ -284,11 +290,19 @@ class FusedSequencePipeline:
 
             def real(args):
                 rings, acc, cnt = args
-                batch = frames[x["new_ids"]]
-                feats = eng._backbone_features(batch, resize_hw,
-                                               variables=variables)
-                rings = tuple(r.at[x["write_rows"]].set(f.astype(r.dtype))
-                              for r, f in zip(rings, feats))
+
+                def with_new(rings):
+                    batch = frames[x["new_ids"]]
+                    feats = eng._backbone_features(batch, resize_hw,
+                                                   variables=variables)
+                    return tuple(
+                        r.at[x["write_rows"]].set(f.astype(r.dtype))
+                        for r, f in zip(rings, feats))
+
+                # window 0 computes no new frames (the prelude filled its
+                # rows) — skip its s_new dummy backbone invocations
+                rings = jax.lax.cond(x["has_new"], with_new,
+                                     lambda rings: rings, rings)
                 window = tuple(r[x["gather_rows"]] for r in rings)
                 coarsest_first = [f[None] for f in window[::-1]]
                 emb, bw, seed, semseg = eng._heads_from_features(
@@ -427,22 +441,30 @@ class FusedSequencePipeline:
         :return: (labels [T, h_c, w_c] int32 np, counts, lifetimes,
                   fg_masks np, multiclass np or None)
         """
-        t_total = frames.shape[0]
+        # true sequence length comes from the schedule, NOT frames.shape[0]:
+        # device-resident frames arrive pre-padded to l_pad and the padding
+        # frames must not leak into the sliced outputs / track stats
+        t_total = max(max(w) for w in windows) + 1
         w_real = len(windows)
+        assert frames.shape[0] >= t_total, (frames.shape, t_total)
         assert all(len(set(w)) == len(w) for w in windows), \
             "fused path requires duplicate-free windows (use streaming path)"
 
         k = self.cluster_params.max_instances
         l_pad = _round_up(t_total, 16)
         w_pad = _round_up(w_real, 4)
-        sched = _Schedule(windows, t_total, k, l_pad, w_pad)
+        sched = _Schedule(windows, k, l_pad, w_pad)
         band = self._band(sched.lookback)
 
         if frames.shape[0] != l_pad:
             assert not isinstance(frames, jax.Array), \
                 "device-resident frames must be pre-padded to l_pad"
-            pad = np.zeros((l_pad - t_total,) + frames.shape[1:], frames.dtype)
-            frames = np.concatenate([frames, pad], axis=0)
+            if frames.shape[0] < l_pad:
+                pad = np.zeros((l_pad - frames.shape[0],) + frames.shape[1:],
+                               frames.dtype)
+                frames = np.concatenate([frames, pad], axis=0)
+            else:
+                frames = frames[:l_pad]
 
         shape_key = (l_pad, w_pad, sched.t_win, sched.ring_rows)
         if resize_hw is not None:
@@ -579,15 +601,15 @@ class FusedSequencePipeline:
         idxs = list(range(b_real)) + [0] * (n_dev - b_real)
 
         k = self.cluster_params.max_instances
-        l_pad = max(_round_up(f.shape[0], 16) for f in frames_batch)
+        t_tots = [max(max(w) for w in ws) + 1 for ws in windows_batch]
+        l_pad = max(_round_up(tt, 16) for tt in t_tots)
         w_pad = max(_round_up(len(w), 4) for w in windows_batch)
-        scheds = [_Schedule(windows_batch[i], frames_batch[i].shape[0], k,
-                            l_pad, w_pad) for i in idxs]
+        scheds = [_Schedule(windows_batch[i], k, l_pad, w_pad) for i in idxs]
         band = max(self._band(s.lookback) for s in scheds)
 
         def pad_frames(f):
-            if f.shape[0] == l_pad:
-                return f
+            if f.shape[0] >= l_pad:
+                return f[:l_pad]
             pad = np.zeros((l_pad - f.shape[0],) + f.shape[1:], f.dtype)
             return np.concatenate([f, pad], axis=0)
 
@@ -645,7 +667,7 @@ class FusedSequencePipeline:
 
         results = []
         for b in range(b_real):
-            t_total = frames_batch[b].shape[0]
+            t_total = t_tots[b]
             labels = np.asarray(fetched[0][b])[:t_total].astype(np.int32)
             fg = np.asarray(fetched[1][b])[:t_total]
             mc = np.asarray(fetched[2][b])[:t_total] if has_mc else None

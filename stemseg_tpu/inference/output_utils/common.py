@@ -28,11 +28,13 @@ import numpy as np
 from stemseg_tpu.structures.geometry import compute_resize_params
 
 
-@partial(jax.jit, static_argnums=(1, 2, 3, 4))
-def _masks_to_original_dims(masks: jnp.ndarray, mask_scale: int,
-                            resized_hw: Tuple[int, int],
-                            image_hw: Tuple[int, int],
-                            upscaled_inputs: bool) -> jnp.ndarray:
+def _mask_float_chain(masks: jnp.ndarray, mask_scale: int,
+                      resized_hw: Tuple[int, int],
+                      image_hw: Tuple[int, int],
+                      upscaled_inputs: bool) -> jnp.ndarray:
+    """The production resize chain BEFORE the 0.5 threshold — the single
+    source of truth shared by the writers (thresholded) and the golden-diff
+    tests (float, to prove disagreements are knife-edge)."""
     k, h, w = masks.shape
     x = masks.astype(jnp.float32)
     if not upscaled_inputs:
@@ -41,7 +43,16 @@ def _masks_to_original_dims(masks: jnp.ndarray, mask_scale: int,
     x = x[:, :resized_hw[0], :resized_hw[1]]
     x = jax.image.resize(x, (k,) + tuple(image_hw), method="linear",
                          antialias=False)
-    return x > 0.5
+    return x
+
+
+@partial(jax.jit, static_argnums=(1, 2, 3, 4))
+def _masks_to_original_dims(masks: jnp.ndarray, mask_scale: int,
+                            resized_hw: Tuple[int, int],
+                            image_hw: Tuple[int, int],
+                            upscaled_inputs: bool) -> jnp.ndarray:
+    return _mask_float_chain(masks, mask_scale, resized_hw, image_hw,
+                             upscaled_inputs) > 0.5
 
 
 def masks_to_original_dims(masks, mask_scale: int, image_dims: Tuple[int, int],
@@ -75,15 +86,9 @@ def mask_resize_floats(masks, mask_scale: int, image_dims: Tuple[int, int],
     image_height, image_width = image_dims
     resized_w, resized_h, _ = compute_resize_params((image_width, image_height),
                                                     min_dim, max_dim)
-    k, h, w = masks.shape
-    x = jnp.asarray(masks).astype(jnp.float32)
-    if not upscaled_inputs:
-        x = jax.image.resize(x, (k, h * mask_scale, w * mask_scale),
-                             method="linear", antialias=False)
-    x = x[:, :resized_h, :resized_w]
-    x = jax.image.resize(x, (k, image_height, image_width), method="linear",
-                         antialias=False)
-    return np.asarray(x)
+    return np.asarray(_mask_float_chain(
+        jnp.asarray(masks), mask_scale, (resized_h, resized_w),
+        (image_height, image_width), upscaled_inputs))
 
 
 def select_instances_to_keep(instance_lifetimes: Dict[int, int],

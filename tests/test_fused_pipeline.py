@@ -238,3 +238,22 @@ def test_fused_bf16_engine(setup):
     assert np.isfinite(fg16).all()
     agree = np.mean(fg16 == fg32)
     assert agree > 0.99, f"bf16 fg masks diverge from fp32: {agree:.4f}"
+
+
+def test_fused_prepadded_frames_slice_to_true_length(setup):
+    """run() must slice outputs to the SCHEDULE's true length: the device
+    fast path ships frames pre-padded to l_pad, and the padding frames must
+    not leak into labels/fg/track stats (they are not garbage-free)."""
+    cfg, model, variables, frames = setup
+    windows, _ = get_subsequence_frames(10, 4, 2)
+    params = _params(cfg)
+    engine = InferenceEngine(cfg, variables)
+    pipe = FusedSequencePipeline(engine, params, backend="xla")
+
+    want = pipe.run(frames[:10], windows)
+    padded = np.concatenate(
+        [frames[:10], np.zeros((6,) + frames.shape[1:], frames.dtype)])
+    got = pipe.run(padded, windows)
+    assert got[0].shape[0] == 10 and got[3].shape[0] == 10
+    np.testing.assert_array_equal(want[0], got[0])
+    assert want[1] == got[1] and want[2] == got[2]
