@@ -79,35 +79,61 @@ def db_eval_boundary(gt: np.ndarray, pred: np.ndarray,
     return out
 
 
+def _recall(series: np.ndarray) -> float:
+    """Fraction of frames above 0.5 (the official recall statistic)."""
+    return float(np.mean(series > 0.5))
+
+
+def _decay(series: np.ndarray) -> float:
+    """Official decay statistic: the series is split into 4 contiguous
+    bins and decay = mean(first bin) - mean(last bin)."""
+    ids = np.round(np.linspace(0, len(series), 5)).astype(int)
+    bins = [series[ids[i]:ids[i + 1]] for i in range(4)]
+    first = float(np.mean(bins[0])) if len(bins[0]) else 0.0
+    last = float(np.mean(bins[3])) if len(bins[3]) else 0.0
+    return first - last
+
+
 def evaluate_davis_sequence(gt_masks: Sequence[np.ndarray],
                             pred_masks: Sequence[np.ndarray],
-                            bound_th: float = 0.008
-                            ) -> Tuple[List[float], List[float]]:
+                            bound_th: float = 0.008,
+                            with_series: bool = False):
     """Score one sequence under the unsupervised protocol.
 
     :param gt_masks: per ground-truth object, [T, H, W] masks
     :param pred_masks: per predicted proposal, [T, H, W] masks (unordered)
-    :return: (per-object J means, per-object F means) — one entry per
-        ground-truth object (0.0 where unmatched)
+    :param with_series: additionally return per-object per-frame J / F
+        arrays of the ASSIGNED proposal (zeros where unmatched) — feeds the
+        recall/decay statistics
+    :return: (per-object J means, per-object F means[, J series, F series])
+        — one entry per ground-truth object (0.0 where unmatched)
     """
     n_gt, n_pr = len(gt_masks), len(pred_masks)
     if n_gt == 0:
-        return [], []
-    j = np.zeros((n_gt, n_pr))
-    f = np.zeros((n_gt, n_pr))
+        return ([], [], [], []) if with_series else ([], [])
+    t = gt_masks[0].shape[0]
+    j_series = np.zeros((n_gt, n_pr, t))
+    f_series = np.zeros((n_gt, n_pr, t))
     for gi in range(n_gt):
         for pi in range(n_pr):
-            j[gi, pi] = float(np.mean(db_eval_iou(gt_masks[gi],
-                                                  pred_masks[pi])))
-            f[gi, pi] = float(np.mean(db_eval_boundary(
-                gt_masks[gi], pred_masks[pi], bound_th)))
+            j_series[gi, pi] = db_eval_iou(gt_masks[gi], pred_masks[pi])
+            f_series[gi, pi] = db_eval_boundary(gt_masks[gi],
+                                                pred_masks[pi], bound_th)
+    j = j_series.mean(axis=2)
+    f = f_series.mean(axis=2)
     j_means = [0.0] * n_gt
     f_means = [0.0] * n_gt
+    j_rows = [np.zeros(t)] * n_gt
+    f_rows = [np.zeros(t)] * n_gt
     if n_pr:
         rows, cols = linear_sum_assignment(-(j + f) / 2.0)
         for gi, pi in zip(rows, cols):
-            j_means[gi] = j[gi, pi]
-            f_means[gi] = f[gi, pi]
+            j_means[gi] = float(j[gi, pi])
+            f_means[gi] = float(f[gi, pi])
+            j_rows[gi] = j_series[gi, pi]
+            f_rows[gi] = f_series[gi, pi]
+    if with_series:
+        return j_means, f_means, j_rows, f_rows
     return j_means, f_means
 
 
@@ -115,18 +141,33 @@ def evaluate_davis(gt_by_sequence: Dict[str, Sequence[np.ndarray]],
                    pred_by_sequence: Dict[str, Sequence[np.ndarray]],
                    bound_th: float = 0.008) -> Dict[str, float]:
     """Global unsupervised J&F over sequences; per-object scores pooled
-    before averaging (the official global mean)."""
+    before averaging (the official global mean), with the official recall
+    (fraction of frames > 0.5) and decay (first-quartile mean minus
+    last-quartile mean) statistics."""
     all_j: List[float] = []
     all_f: List[float] = []
+    j_recalls: List[float] = []
+    f_recalls: List[float] = []
+    j_decays: List[float] = []
+    f_decays: List[float] = []
     for seq, gt in gt_by_sequence.items():
         preds = pred_by_sequence.get(seq, [])
-        j_means, f_means = evaluate_davis_sequence(gt, preds, bound_th)
+        j_means, f_means, j_rows, f_rows = evaluate_davis_sequence(
+            gt, preds, bound_th, with_series=True)
         all_j.extend(j_means)
         all_f.extend(f_means)
+        j_recalls.extend(_recall(r) for r in j_rows)
+        f_recalls.extend(_recall(r) for r in f_rows)
+        j_decays.extend(_decay(r) for r in j_rows)
+        f_decays.extend(_decay(r) for r in f_rows)
     j_mean = float(np.mean(all_j)) if all_j else 0.0
     f_mean = float(np.mean(all_f)) if all_f else 0.0
     return {"J_mean": j_mean, "F_mean": f_mean,
-            "J&F": (j_mean + f_mean) / 2.0}
+            "J&F": (j_mean + f_mean) / 2.0,
+            "J_recall": float(np.mean(j_recalls)) if j_recalls else 0.0,
+            "F_recall": float(np.mean(f_recalls)) if f_recalls else 0.0,
+            "J_decay": float(np.mean(j_decays)) if j_decays else 0.0,
+            "F_decay": float(np.mean(f_decays)) if f_decays else 0.0}
 
 
 def load_davis_results_dir(results_dir: str) -> List[np.ndarray]:

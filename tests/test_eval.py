@@ -237,3 +237,23 @@ def test_ytvis_results_json_loader(tmp_path):
     assert tracks[0]["video"] == "v1" and tracks[0]["category"] == 3
     np.testing.assert_array_equal(tracks[0]["masks"][0], m)
     assert tracks[0]["masks"][1] is None
+
+
+def test_davis_recall_and_decay():
+    """Recall = fraction of frames with score > 0.5; decay = first-quartile
+    mean minus last-quartile mean of the assigned proposal's series."""
+    from stemseg_tpu.eval.davis import _decay, _recall
+
+    series = np.array([1.0, 1.0, 0.4, 0.2])
+    np.testing.assert_allclose(_recall(series), 0.5)
+    np.testing.assert_allclose(_decay(series), 1.0 - 0.2)
+
+    # end-to-end: prediction perfect for the first half of 4 frames, absent
+    # in the second half -> J series [1, 1, 0, 0]: recall 0.5, decay 1.0
+    full = np.stack([_rect(16, 16, 0, 8, 0, 8)] * 4)
+    half = full.copy()
+    half[2:] = 0
+    res = evaluate_davis({"s": [full]}, {"s": [half]})
+    np.testing.assert_allclose(res["J_recall"], 0.5)
+    np.testing.assert_allclose(res["J_decay"], 1.0)
+    np.testing.assert_allclose(res["J_mean"], 0.5)
