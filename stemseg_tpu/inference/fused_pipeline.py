@@ -570,7 +570,8 @@ class FusedSequencePipeline:
                   windows_batch: List[List[List[int]]], mesh,
                   seediness_fg_threshold: float = 0.25,
                   semseg_output_type: str = "probs",
-                  resize_hw: Optional[Tuple[int, int]] = None):
+                  resize_hw: Optional[Tuple[int, int]] = None,
+                  fetch_multiclass: bool = True):
         """Data-parallel inference: ONE SEQUENCE PER DEVICE over a 1-D mesh
         (``shard_map`` — each device runs the unbatched fused graph, so the
         Pallas clustering kernel and all gathers stay single-core).
@@ -660,7 +661,7 @@ class FusedSequencePipeline:
 
         # ---- round trip 2: all final volumes in one fetch ----
         fetch = [labels_dev, out["fg_masks"]]
-        has_mc = out["multiclass_masks"] is not None
+        has_mc = fetch_multiclass and out["multiclass_masks"] is not None
         if has_mc:
             fetch.append(out["multiclass_masks"])
         fetched = jax.device_get(fetch)

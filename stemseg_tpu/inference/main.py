@@ -103,7 +103,8 @@ class TrackGenerator:
                  max_tracks: int, seediness_thresh: float = 0.25,
                  frame_overlap: int = -1, resize_embeddings: bool = False,
                  cpu_workers: int = 4, use_fused: bool = True,
-                 bf16: bool = False, profile_clustering: bool = False):
+                 bf16: bool = False, profile_clustering: bool = False,
+                 mesh=None):
         import jax.numpy as jnp
 
         from stemseg_tpu.inference.clustering import (ClusterParams,
@@ -179,6 +180,9 @@ class TrackGenerator:
         self.fused = FusedSequencePipeline(
             self.engine, self.cluster_params,
             cluster_full_scale=self.cluster_full_scale) if use_fused else None
+        # data-parallel serving: one sequence per device over this mesh
+        # (no reference analogue — the reference is single-GPU)
+        self.mesh = mesh if (mesh is not None and use_fused) else None
         self.total_frames_processed = 0
 
     # ------------------------------------------------------------------
@@ -266,11 +270,71 @@ class TrackGenerator:
 
         self.total_frames_processed += len(sequence)
 
+    @Timer.log_duration("inference")
+    def do_fused_batch(self, frames_list, windows_list, resize_hw):
+        return self.fused.run_batch(
+            frames_list, windows_list, self.mesh,
+            seediness_fg_threshold=self.seediness_thresh,
+            semseg_output_type=self.semseg_output_type, resize_hw=resize_hw,
+            fetch_multiclass=self.dataset != "davis")
+
+    def _start_mesh(self, todo):
+        """Data-parallel serving: group sequences by raw resolution (one
+        resize bucket per run_batch call), chunk to the mesh size, run one
+        sequence per device; too-short sequences (front-padded duplicate
+        windows) fall back to the per-sequence path."""
+        from collections import defaultdict
+
+        from stemseg_tpu.inference.windows import get_subsequence_frames
+        from stemseg_tpu.structures.geometry import compute_resize_params
+
+        n_dev = int(np.prod(self.mesh.devices.shape))
+        groups = defaultdict(list)
+        shorts = []
+        for s in todo:
+            (groups[tuple(s.image_dims)].append(s)
+             if len(s) >= self.cfg.input.num_frames else shorts.append(s))
+
+        done = 0
+        for (h0, w0), seqs in groups.items():
+            new_w, new_h, _ = compute_resize_params(
+                (w0, h0), self.cfg.input.min_dim, self.cfg.input.max_dim)
+            for i in range(0, len(seqs), n_dev):
+                chunk = seqs[i:i + n_dev]
+                loaded = [self._load_frames(s) for s in chunk]
+                frames_list = [f for f, _ in loaded]
+                windows_list = [get_subsequence_frames(
+                    f.shape[0], self.cfg.input.num_frames,
+                    self.frame_overlap)[0] for f in frames_list]
+                print(f"Performing inference for sequences "
+                      f"{done + 1}-{done + len(chunk)}/{len(todo)} "
+                      f"({len(chunk)}-way data parallel)")
+                results = self.do_fused_batch(frames_list, windows_list,
+                                              (new_h, new_w))
+                for seq, (labels, counts, lifetimes, _, mc) in zip(chunk,
+                                                                   results):
+                    self.output_generator.process_sequence(
+                        seq, labels, counts, lifetimes, mc, mask_scale=4,
+                        max_tracks=self.max_tracks,
+                        min_dim=self.cfg.input.min_dim,
+                        max_dim=self.cfg.input.max_dim)
+                    self.total_frames_processed += len(seq)
+                done += len(chunk)
+        for i, s in enumerate(shorts):
+            print(f"Performing inference for sequence "
+                  f"{done + i + 1}/{len(todo)} (short, per-sequence)")
+            self.process_sequence(s, self.max_tracks)
+
     def start(self, sequences, seqs_to_process: Optional[List[str]] = None):
         from concurrent.futures import ThreadPoolExecutor
 
         todo = [s for s in sequences
                 if not seqs_to_process or str(s.id) in seqs_to_process]
+
+        if self.mesh is not None:
+            self._start_mesh(todo)
+            self._print_fps_report()
+            return
 
         # prefetch the NEXT sequence's frames while the device crunches the
         # current one (image I/O is excluded from the fps timers either way)
@@ -283,6 +347,9 @@ class TrackGenerator:
                     pending = prefetcher.submit(self._load_frames, todo[i + 1])
                 self._process_loaded(sequence, frames, image_hw, self.max_tracks)
 
+        self._print_fps_report()
+
+    def _print_fps_report(self):
         inf = max(Timer.get_duration("inference"), 1e-9)
         post = max(Timer.get_duration("postprocessing"), 1e-9)
         print("----------------------------------------------------")
@@ -327,6 +394,11 @@ def main(argv=None):
                         help="capture a jax.profiler device trace of the "
                              "whole run into DIR (view with TensorBoard's "
                              "profile plugin / xprof)")
+    parser.add_argument("--data_parallel", action="store_true",
+                        help="serve one sequence per device over a mesh of "
+                             "all visible devices (fused pipeline "
+                             "run_batch); sequences are grouped by raw "
+                             "resolution so each batch shares one compile")
     args = parser.parse_args(argv)
 
     cfg = load_inference_cfg(args.model_path, args.dataset, args.min_dim,
@@ -378,12 +450,20 @@ def main(argv=None):
     max_tracks = args.max_tracks or max_tracks
 
     variables = load_model_variables(cfg, args.model_path)
+    mesh = None
+    if args.data_parallel:
+        import jax
+
+        from stemseg_tpu.parallel import create_mesh
+
+        mesh = create_mesh(jax.device_count())
     generator = TrackGenerator(
         cfg, args.dataset, variables, output_generator, max_tracks,
         seediness_thresh=args.seediness_thresh,
         frame_overlap=args.frame_overlap,
         resize_embeddings=args.resize_embeddings,
-        bf16=args.bf16, profile_clustering=args.profile_clustering)
+        bf16=args.bf16, profile_clustering=args.profile_clustering,
+        mesh=mesh)
 
     import contextlib
 

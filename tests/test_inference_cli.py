@@ -241,3 +241,60 @@ def test_inference_cli_kittimots(tmp_path, monkeypatch):
         assert d._mask["size"] == (h, w)
     # NMS output dir written by save()
     assert os.path.isdir(os.path.join(out_dir, "results_nms"))
+
+
+def test_inference_cli_davis_data_parallel(tmp_path, monkeypatch):
+    """--data_parallel (one sequence per device over the 8-device CPU mesh)
+    must produce byte-identical PNGs to the serial run, including the
+    short-sequence fallback to the per-sequence path."""
+    from stemseg_tpu.inference import main as inference_main
+    from stemseg_tpu.utils.timer import Timer
+
+    rng = np.random.RandomState(1)
+    h, w = 48, 64
+    base_dir = str(tmp_path / "davis")
+    sequences = []
+    for si, (sid, n_frames) in enumerate([("seqA", 6), ("seqB", 7),
+                                          ("seqC", 3)]):  # seqC < T=4: short
+        os.makedirs(os.path.join(base_dir, sid), exist_ok=True)
+        image_paths, segmentations = [], []
+        for t in range(n_frames):
+            img = rng.randint(0, 255, (h, w, 3), np.uint8)
+            rel = f"{sid}/{t:05d}.jpg"
+            cv2.imwrite(os.path.join(base_dir, rel), img)
+            image_paths.append(rel)
+            m = np.zeros((h, w), np.uint8)
+            m[8 + si:28 + si, 10 + t:30 + t] = 1
+            segmentations.append(
+                {"1": rle_codec.encode(m)["counts"].decode("utf-8")})
+        sequences.append({"id": sid, "height": h, "width": w,
+                          "image_paths": image_paths, "categories": {"1": 1},
+                          "segmentations": segmentations})
+    ds = {"meta": {"category_labels": {"1": "object"}},
+          "sequences": sequences}
+    ann_dir = str(tmp_path / "ann")
+    os.makedirs(ann_dir, exist_ok=True)
+    with open(os.path.join(ann_dir, "davis_val.json"), "w") as fh:
+        json.dump(ds, fh)
+
+    ckpt = _make_checkpoint(tmp_path)
+    monkeypatch.setenv("DAVIS_BASE_DIR", base_dir)
+    monkeypatch.setenv("STEMSEG_JSON_ANNOTATIONS_DIR", ann_dir)
+
+    def run(out_name, extra):
+        Timer.reset()
+        out_dir = str(tmp_path / out_name)
+        inference_main.main([ckpt, "-o", out_dir, "--dataset", "davis",
+                             "--max_tracks", "5", "--frame_overlap", "2"]
+                            + extra)
+        return out_dir
+
+    serial = run("out_serial", [])
+    parallel = run("out_parallel", ["--data_parallel"])
+
+    for sid, n_frames in [("seqA", 6), ("seqB", 7), ("seqC", 3)]:
+        for t in range(n_frames):
+            fn = os.path.join("results", sid, f"{t:05d}.png")
+            with open(os.path.join(serial, fn), "rb") as f1, \
+                    open(os.path.join(parallel, fn), "rb") as f2:
+                assert f1.read() == f2.read(), f"{fn} differs"
