@@ -7,10 +7,13 @@ ships no scorer):
 * **J (region similarity)** — per-frame intersection-over-union between a
   ground-truth object mask and a predicted mask.
 * **F (boundary accuracy)** — per-frame F-measure between the mask
-  boundaries: boundary pixels are extracted by mask != its 1-pixel
-  erosion, each side is dilated by a disk of radius
-  ``ceil(bound_th * diag)`` (bound_th 0.008), and precision/recall are
-  computed on the dilated matches.
+  boundaries: boundary pixels are extracted with the BSDS ``seg2bmap``
+  shifted-XOR rule (a pixel is boundary if it differs from its east,
+  south, or south-east neighbour; last row/col handled separately), each
+  side is dilated by a disk of radius ``ceil(bound_th * diag)``
+  (bound_th 0.008, disk = {(y, x): y² + x² <= r²}, identical to
+  ``skimage.morphology.disk``), and precision/recall are computed on the
+  dilated matches — exactly the official ``db_eval_boundary``.
 * **Unsupervised protocol** — predictions are unordered proposals; each
   ground-truth object is assigned the proposal maximizing mean (J+F)/2
   over frames via Hungarian matching, extra proposals are ignored, and
@@ -43,13 +46,30 @@ def db_eval_iou(gt: np.ndarray, pred: np.ndarray) -> np.ndarray:
 
 
 def _seg2bmap(mask: np.ndarray) -> np.ndarray:
-    """Boundary map of a binary mask: pixels that are set but have an unset
-    4-neighbour (or lie on the image border while set)."""
-    mask = mask.astype(bool)
-    padded = np.pad(mask, 1, mode="constant", constant_values=False)
-    core = (padded[1:-1, 1:-1] & padded[:-2, 1:-1] & padded[2:, 1:-1]
-            & padded[1:-1, :-2] & padded[1:-1, 2:])
-    return mask & ~core
+    """BSDS/official-DAVIS boundary map: a pixel is boundary iff it differs
+    from its east, south, or south-east neighbour; on the last row/column
+    only the in-bounds comparisons apply and the bottom-right corner is
+    never boundary (the official ``seg2bmap`` with width == w)."""
+    seg = mask.astype(bool)
+    e = np.zeros_like(seg)
+    s = np.zeros_like(seg)
+    se = np.zeros_like(seg)
+    e[:, :-1] = seg[:, 1:]
+    s[:-1, :] = seg[1:, :]
+    se[:-1, :-1] = seg[1:, 1:]
+    b = (seg ^ e) | (seg ^ s) | (seg ^ se)
+    b[-1, :] = seg[-1, :] ^ e[-1, :]
+    b[:, -1] = seg[:, -1] ^ s[:, -1]
+    b[-1, -1] = False
+    return b
+
+
+def _disk(radius: int) -> np.ndarray:
+    """Disk structuring element {(y, x): y² + x² <= r²} — elementwise equal
+    to ``skimage.morphology.disk(radius)``, which the official evaluator
+    dilates with (cv2's MORPH_ELLIPSE differs at some radii)."""
+    y, x = np.ogrid[-radius:radius + 1, -radius:radius + 1]
+    return (x * x + y * y <= radius * radius).astype(np.uint8)
 
 
 def db_eval_boundary(gt: np.ndarray, pred: np.ndarray,
@@ -57,8 +77,7 @@ def db_eval_boundary(gt: np.ndarray, pred: np.ndarray,
     """Per-frame boundary F-measure. ``gt``/``pred``: [T, H, W]."""
     t, h, w = gt.shape
     radius = int(np.ceil(bound_th * np.sqrt(h * h + w * w)))
-    kernel = cv2.getStructuringElement(
-        cv2.MORPH_ELLIPSE, (2 * radius + 1, 2 * radius + 1))
+    kernel = _disk(radius)
     out = np.empty(t, np.float64)
     for i in range(t):
         gb = _seg2bmap(np.asarray(gt[i], bool))
@@ -85,10 +104,13 @@ def _recall(series: np.ndarray) -> float:
 
 
 def _decay(series: np.ndarray) -> float:
-    """Official decay statistic: the series is split into 4 contiguous
-    bins and decay = mean(first bin) - mean(last bin)."""
-    ids = np.round(np.linspace(0, len(series), 5)).astype(int)
-    bins = [series[ids[i]:ids[i + 1]] for i in range(4)]
+    """Official decay statistic (``db_statistics``): 4 bins with
+    ``ids = round(linspace(1, N, 5) + 1e-10) - 1`` and INCLUSIVE ends
+    (``series[ids[i]:ids[i+1]+1]`` — adjacent bins overlap by one frame);
+    decay = mean(first bin) - mean(last bin)."""
+    n = len(series)
+    ids = (np.round(np.linspace(1, n, 5) + 1e-10) - 1).astype(int)
+    bins = [series[ids[i]:ids[i + 1] + 1] for i in range(4)]
     first = float(np.mean(bins[0])) if len(bins[0]) else 0.0
     last = float(np.mean(bins[3])) if len(bins[3]) else 0.0
     return first - last

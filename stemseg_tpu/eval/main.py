@@ -74,9 +74,14 @@ def eval_ytvis(results_json: str, seqs=None) -> dict:
 
 
 def eval_kittimots(results_dir: str, seqs=None) -> dict:
-    """Aggregate CLEAR-MOTS over sequences: GT from the generic JSON
-    (category 3 = ignore regions -> per-frame ignore masks, reference
-    ``mots_data_loader.py:100-115``), hypotheses from the writer's txt."""
+    """Per-class CLEAR-MOTS over sequences, the official ``mots_tools``
+    protocol: cars (class 1) and pedestrians (class 2) are scored
+    independently — a hypothesis can only TP-match ground truth of its own
+    class (hypothesis class from the txt's class column / track id // 1000;
+    ground truth class from the generic JSON's categories). Category 3 GT
+    entries are ignore regions (reference ``mots_data_loader.py:100-115``)
+    applied to both classes. Reports per-class sMOTSA/MOTSA/MOTSP with
+    ``_car`` / ``_pedestrian`` suffixes plus class-pooled aggregates."""
     from stemseg_tpu.data.parsers import parse_generic_video_dataset
     from stemseg_tpu.data.paths import KITTIMOTSPaths
     from stemseg_tpu.eval.mots import evaluate_mots, parse_mots_txt
@@ -84,13 +89,15 @@ def eval_kittimots(results_dir: str, seqs=None) -> dict:
     sequences, _ = parse_generic_video_dataset(
         KITTIMOTSPaths.train_images_dir(), KITTIMOTSPaths.val_vds_file())
 
-    totals = {"TP": 0, "FP": 0, "FN": 0, "IDS": 0, "soft_TP": 0.0,
-              "num_gt": 0}
+    class_names = {1: "car", 2: "pedestrian"}
+    keys = ("TP", "FP", "FN", "IDS", "soft_TP", "num_gt")
+    totals = {cls: {k: 0.0 for k in keys} for cls in class_names}
     for seq in sequences:
         if seqs and seq.id not in seqs:
             continue
         txt = os.path.join(results_dir, f"{seq.id}.txt")
-        hyp = parse_mots_txt(txt) if os.path.exists(txt) else []
+        hyp, hyp_class = (parse_mots_txt(txt) if os.path.exists(txt)
+                          else ([], {}))
         t_total = len(seq)
         hyp += [{} for _ in range(t_total - len(hyp))]
 
@@ -107,19 +114,35 @@ def eval_kittimots(results_dir: str, seqs=None) -> dict:
             gt_frames.append(gt_t)
             ignore_frames.append(ignore_t)
 
-        res = evaluate_mots(gt_frames, hyp[:t_total], ignore_frames)
-        for k in totals:
-            totals[k] += res[k]
+        for cls in class_names:
+            gt_cls = [{iid: m for iid, m in gt_t.items()
+                       if seq.instance_categories[iid] == cls}
+                      for gt_t in gt_frames]
+            hyp_cls = [{tid: m for tid, m in hyp_t.items()
+                        if hyp_class.get(tid) == cls}
+                       for hyp_t in hyp[:t_total]]
+            res = evaluate_mots(gt_cls, hyp_cls, ignore_frames)
+            for k in keys:
+                totals[cls][k] += res[k]
 
-    num_gt, tp = totals["num_gt"], totals["TP"]
-    return {
-        "sMOTSA": (totals["soft_TP"] - totals["FP"] - totals["IDS"]) / num_gt
-        if num_gt else 0.0,
-        "MOTSA": (tp - totals["FP"] - totals["IDS"]) / num_gt
-        if num_gt else 0.0,
-        "MOTSP": totals["soft_TP"] / tp if tp else 0.0,
-        **totals,
-    }
+    def _derive(t):
+        num_gt, tp = t["num_gt"], t["TP"]
+        return {
+            "sMOTSA": (t["soft_TP"] - t["FP"] - t["IDS"]) / num_gt
+            if num_gt else 0.0,
+            "MOTSA": (tp - t["FP"] - t["IDS"]) / num_gt if num_gt else 0.0,
+            "MOTSP": t["soft_TP"] / tp if tp else 0.0,
+        }
+
+    out = {}
+    pooled = {k: sum(totals[c][k] for c in class_names) for k in keys}
+    for cls, name in class_names.items():
+        for k, v in _derive(totals[cls]).items():
+            out[f"{k}_{name}"] = v
+    out.update(_derive(pooled))
+    out.update({k: (pooled[k] if k == "soft_TP" else int(pooled[k]))
+                for k in keys})
+    return out
 
 
 def main(argv=None):

@@ -97,24 +97,29 @@ def evaluate_mots(gt_frames: Sequence[Dict[int, np.ndarray]],
     }
 
 
-def parse_mots_txt(path: str) -> List[Dict[int, np.ndarray]]:
+def parse_mots_txt(path: str):
     """Read a KITTI-MOTS results/GT txt (``frame id class h w rle`` lines,
     the format our writer emits — ``output_utils/kitti_mots.py``) into
-    per-frame {track_id: mask} dicts. Class-10 entries (ignore regions in
-    GT files) are kept with their ids; filter upstream as needed."""
+    ``(frames, track_class)``: per-frame {track_id: mask} dicts plus a
+    {track_id: class_id} map from the class column. Class-10 entries
+    (ignore regions in GT files) are kept with their ids; filter by
+    ``track_class`` upstream — the official ``mots_tools`` scorer is
+    per-class (cars and pedestrians are never cross-matched)."""
     from stemseg_tpu.utils import rle as rle_codec
 
     frames: Dict[int, Dict[int, np.ndarray]] = {}
+    track_class: Dict[int, int] = {}
     max_t = -1
     with open(path) as fh:
         for line in fh:
             parts = line.strip().split(" ")
             if len(parts) < 6:
                 continue
-            t, tid = int(parts[0]), int(parts[1])
+            t, tid, cls = int(parts[0]), int(parts[1]), int(parts[2])
             h, w = int(parts[3]), int(parts[4])
             counts = " ".join(parts[5:])
             mask = rle_codec.decode({"size": [h, w], "counts": counts})
             frames.setdefault(t, {})[tid] = mask
+            track_class[tid] = cls
             max_t = max(max_t, t)
-    return [frames.get(t, {}) for t in range(max_t + 1)]
+    return [frames.get(t, {}) for t in range(max_t + 1)], track_class

@@ -435,7 +435,10 @@ class FusedSequencePipeline:
         :param device_outputs: skip the final bulk D2H fetch and return
             device arrays (labels/fg/multiclass, still padded to l_pad) with
             counts/lifetimes as None — lets callers pipeline the fetch with
-            the next sequence's compute
+            the next sequence's compute. The labels array stays in the
+            int16 LUT transport dtype whenever ``w_pad*k+1 < 2**15``
+            (int32 otherwise) — cast to int32 host-side after fetching,
+            as the non-device path does
         :param fetch_multiclass: set False when the writer ignores
             category masks (the DAVIS format) — skips that transfer
         :return: (labels [T, h_c, w_c] int32 np, counts, lifetimes,

@@ -159,8 +159,9 @@ def test_parse_mots_txt_roundtrip(tmp_path):
         lines.append(f"{t} {tid} 2 12 14 {enc['counts'].decode()}")
     p = tmp_path / "0002.txt"
     p.write_text("\n".join(lines) + "\n")
-    frames = parse_mots_txt(str(p))
+    frames, track_class = parse_mots_txt(str(p))
     assert len(frames) == 2
+    assert track_class == {2001: 2}
     np.testing.assert_array_equal(frames[0][2001], m0)
     np.testing.assert_array_equal(frames[1][2001], m1)
 
@@ -220,6 +221,57 @@ def test_ytvis_category_averaging():
     np.testing.assert_allclose(res["AP"], 0.5)
 
 
+def test_ytvis_area_buckets():
+    """AP_S/M/L use the track's average per-frame area with COCO buckets
+    (< 32², 32²-96², > 96²) and COCO ignore semantics: a prediction
+    matched to an out-of-bucket GT is ignored, not an FP."""
+    small = _rect(32, 32, 0, 16, 0, 16)        # 256 px  -> S
+    medium = _rect(64, 64, 0, 40, 0, 40)       # 1600 px -> M
+    large = _rect(128, 128, 0, 100, 0, 100)    # 10000 px -> L
+    gt = [{"video": "vs", "category": 1, "masks": [small]},
+          {"video": "vm", "category": 1, "masks": [medium]},
+          {"video": "vl", "category": 1, "masks": [large]}]
+    preds = [{"video": "vs", "category": 1, "score": 0.9, "masks": [small]},
+             {"video": "vm", "category": 1, "score": 0.8, "masks": [medium]}]
+    res = evaluate_ytvis(gt, preds)
+    np.testing.assert_allclose(res["AP_S"], 1.0)
+    np.testing.assert_allclose(res["AP_M"], 1.0)
+    np.testing.assert_allclose(res["AP_L"], 0.0)
+    # pooled: 2 TPs at precision 1, third gt unmatched -> recall tops at 2/3;
+    # 101-pt interpolation: points 0.00-0.66 score 1.0 -> AP = 67/101
+    np.testing.assert_allclose(res["AP"], 67.0 / 101.0)
+
+
+def test_ytvis_ar_at_maxdets():
+    """AR@1 caps each video at its single highest-scored prediction; AR@10
+    admits both."""
+    m1 = _rect(16, 16, 0, 8, 0, 8)
+    m2 = _rect(16, 16, 8, 16, 8, 16)
+    gt = [{"video": "v", "category": 1, "masks": [m1]},
+          {"video": "v", "category": 1, "masks": [m2]}]
+    preds = [{"video": "v", "category": 1, "score": 0.9, "masks": [m1]},
+             {"video": "v", "category": 1, "score": 0.5, "masks": [m2]}]
+    res = evaluate_ytvis(gt, preds)
+    np.testing.assert_allclose(res["AR10"], 1.0)
+    np.testing.assert_allclose(res["AR1"], 0.5)
+    np.testing.assert_allclose(res["AP"], 1.0)
+
+
+def test_ytvis_coco_tie_break_last_gt_wins():
+    """pycocotools' matching loop is `if iou < best: continue` then an
+    unconditional update, so on an exact IoU tie the LATER gt in
+    (ignore-sorted, stable) order takes the match. Two identical gts, one
+    perfect prediction: the second gt gets matched either way — the
+    observable contract is exactly one TP and one FN."""
+    m = _rect(16, 16, 0, 8, 0, 8)
+    gt = [{"video": "v", "category": 1, "masks": [m]},
+          {"video": "v", "category": 1, "masks": [m]}]
+    preds = [{"video": "v", "category": 1, "score": 0.9, "masks": [m]}]
+    res = evaluate_ytvis(gt, preds)
+    # one of two gts matched at every threshold -> AR10 = 0.5
+    np.testing.assert_allclose(res["AR10"], 0.5)
+
+
 def test_ytvis_results_json_loader(tmp_path):
     import json
 
@@ -240,13 +292,15 @@ def test_ytvis_results_json_loader(tmp_path):
 
 
 def test_davis_recall_and_decay():
-    """Recall = fraction of frames with score > 0.5; decay = first-quartile
-    mean minus last-quartile mean of the assigned proposal's series."""
+    """Recall = fraction of frames with score > 0.5; decay = first-bin mean
+    minus last-bin mean with the official inclusive binning: for N=4,
+    ids = round(linspace(1,4,5)+1e-10)-1 = [0,1,2,2,3], so the first bin is
+    series[0:2] and the last bin series[2:4]."""
     from stemseg_tpu.eval.davis import _decay, _recall
 
     series = np.array([1.0, 1.0, 0.4, 0.2])
     np.testing.assert_allclose(_recall(series), 0.5)
-    np.testing.assert_allclose(_decay(series), 1.0 - 0.2)
+    np.testing.assert_allclose(_decay(series), 1.0 - 0.3)
 
     # end-to-end: prediction perfect for the first half of 4 frames, absent
     # in the second half -> J series [1, 1, 0, 0]: recall 0.5, decay 1.0

@@ -135,3 +135,39 @@ def test_eval_cli_kittimots_with_ignore(tmp_path, monkeypatch):
                          "--results", str(res_dir)])
     assert metrics["TP"] == 2 and metrics["FP"] == 0 and metrics["IDS"] == 0
     assert metrics["sMOTSA"] == pytest.approx(1.0)
+    # per-class split: all GT is cars, so the pedestrian bucket is empty
+    assert metrics["sMOTSA_car"] == pytest.approx(1.0)
+    assert metrics["sMOTSA_pedestrian"] == 0.0
+
+
+def test_eval_cli_kittimots_class_separation(tmp_path, monkeypatch):
+    """mots_tools is per-class: a car hypothesis exactly on top of a
+    pedestrian GT must not TP-match it — it is a car FP and a pedestrian
+    FN. The pre-round-3 pooled scorer wrongly scored this perfect."""
+    from stemseg_tpu.eval.main import main as eval_main
+
+    h, w, t_total = 32, 40, 2
+    ped = [_rect(h, w, 2, 12, 2, 12) for _ in range(t_total)]
+
+    ann_dir = tmp_path / "ann"
+    ann_dir.mkdir()
+    _write_gt_json(str(ann_dir / "kittimots_val.json"), "0002",
+                   {1: ped}, {1: 2}, h, w, t_total, image_ext="png")
+    monkeypatch.setenv("KITTIMOTS_BASE_DIR", str(tmp_path / "km"))
+    monkeypatch.setenv("STEMSEG_JSON_ANNOTATIONS_DIR", str(ann_dir))
+
+    res_dir = tmp_path / "results"
+    res_dir.mkdir()
+    lines = []
+    for t in range(t_total):
+        enc = rle_codec.encode(ped[t])
+        lines.append(f"{t} 1001 1 {h} {w} {enc['counts'].decode()}")  # car!
+    (res_dir / "0002.txt").write_text("\n".join(lines) + "\n")
+
+    metrics = eval_main(["--dataset", "kittimots",
+                         "--results", str(res_dir)])
+    assert metrics["TP"] == 0
+    assert metrics["FP"] == 2            # car hypotheses, no car GT
+    assert metrics["FN"] == 2            # pedestrian GT unmatched
+    assert metrics["sMOTSA_pedestrian"] == pytest.approx(0.0)
+    assert metrics["MOTSA_pedestrian"] == pytest.approx(0.0)
