@@ -335,7 +335,9 @@ class InferenceEngine:
             embeddings, bandwidths, seediness, semseg_logits = \
                 self._heads_fn(rings, ring_idx)
 
-            # dedupe to unique frames, keeping the LAST occurrence
+            # dedupe to unique frames, keeping the LAST occurrence — the
+            # reference's dict-overwrite semantics for embeddings/seediness
+            # (inference_model.py:137-138,158-159)
             unique_frames = sorted(set(win))
             if len(unique_frames) != len(win):
                 last_idx = {t: i for i, t in enumerate(win)}
@@ -343,12 +345,22 @@ class InferenceEngine:
                 embeddings = embeddings[sel]
                 bandwidths = bandwidths[sel]
                 seediness = seediness[sel]
-                if semseg_logits is not None:
-                    semseg_logits = semseg_logits[sel]
 
-            accum_maps.append(semseg_logits if self.semseg_head is not None
-                              else seediness)
-            accum_frames.append(tuple(unique_frames))
+            if self.semseg_head is not None:
+                # semseg logits are NOT deduped: the reference accumulates
+                # every window position into its frame's running average
+                # (inference_model.py:126-128), so a short sequence's
+                # duplicated frame 0 averages the (different) outputs of
+                # both temporal positions. Ship all T_w rows; _finalize's
+                # scatter-add over per-position target frames reproduces
+                # the sum/count exactly.
+                accum_maps.append(semseg_logits)
+                accum_frames.append(tuple(win))
+            else:
+                # seediness fg averaging iterates the deduped frame list
+                # (main.py:96-103), one contribution per (window, frame)
+                accum_maps.append(seediness)
+                accum_frames.append(tuple(unique_frames))
 
             out_windows.append({
                 "frames": unique_frames,
