@@ -72,6 +72,9 @@ class STEmSegModel(nn.Module):
     semseg_foreground_channel: bool = True
     output_resize_scale: float = 1.0
     freeze_backbone: bool = False
+    # backward pruning of the frozen stem/stages (ResNet.freeze_at_stage);
+    # 0 for inference models — forward graphs are unaffected either way
+    freeze_at_stage: int = 0
     remat_backbone: bool = False
     dtype: Optional[jnp.dtype] = None
 
@@ -88,6 +91,7 @@ class STEmSegModel(nn.Module):
             stem_out_channels=self.stem_out_channels,
             res2_out_channels=self.res2_out_channels,
             stride_in_1x1=self.stride_in_1x1,
+            freeze_at_stage=self.freeze_at_stage,
             dtype=self.dtype,
             name="body",
         )
@@ -192,6 +196,7 @@ def build_model(cfg: Config, for_training: bool = True, dtype=None,
         semseg_foreground_channel=m.semseg.foreground_channel,
         output_resize_scale=4.0 if (for_training and cfg.training.loss_at_full_res) else 1.0,
         freeze_backbone=for_training and cfg.training.freeze_backbone,
+        freeze_at_stage=m.backbone.freeze_at_stage if for_training else 0,
         remat_backbone=remat_backbone,
         dtype=dtype,
     )

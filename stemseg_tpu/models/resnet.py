@@ -4,9 +4,12 @@ Behavioral reference: ``/root/reference/stemseg/modeling/backbone/resnet.py``
 (itself derived from maskrcnn-benchmark). Differences by design:
 
 * channels-last ``[N, H, W, C]`` tensors (XLA's preferred TPU conv layout);
-* stage freezing is NOT baked into the module — the train step applies
-  ``jax.lax.stop_gradient`` / an optax mask over the frozen param subtree
-  (reference: ``resnet.py:94-103`` sets ``requires_grad=False``);
+* stage freezing is two-sided: the optimizer masks updates over the frozen
+  param subtree (``training/optim.py:param_freeze_labels``), and the module
+  applies ``jax.lax.stop_gradient`` at the frozen-stage boundary so the
+  backward never computes those stages' weight grads — the FLOP-for-FLOP
+  equivalent of the reference's ``requires_grad=False`` autograd pruning
+  (``resnet.py:94-103``; torch records no graph below frozen leaves);
 * FrozenBatchNorm buffers live in the ``constants`` collection.
 
 Weight-name layout mirrors the reference state-dict so the checkpoint
@@ -18,6 +21,7 @@ from __future__ import annotations
 
 from typing import NamedTuple, Optional, Sequence, Tuple
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -119,11 +123,20 @@ class ResNet(nn.Module):
     stem_out_channels: int = 64
     res2_out_channels: int = 256
     stride_in_1x1: bool = True
+    # stop grads below this stage: 1 = stem frozen, 2 = stem + layer1, ...
+    # (maskrcnn-benchmark FREEZE_CONV_BODY_AT numbering). 0 = no pruning —
+    # inference models pass 0 since no backward exists.
+    freeze_at_stage: int = 0
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x):
         x = Stem(self.stem_out_channels, dtype=self.dtype, name="stem")(x)
+        if self.freeze_at_stage >= 1:
+            # everything below here serves only frozen params — prune the
+            # whole sub-backward, exactly as torch autograd does when
+            # stem/layerN have requires_grad=False
+            x = jax.lax.stop_gradient(x)
 
         outputs = []
         for spec in self.stage_specs:
@@ -141,6 +154,8 @@ class ResNet(nn.Module):
                     dtype=self.dtype,
                     name=f"layer{spec.index}_{block_idx}",
                 )(x)
+            if spec.index < self.freeze_at_stage:
+                x = jax.lax.stop_gradient(x)
             if spec.return_features:
                 outputs.append(x)
 

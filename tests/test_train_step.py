@@ -80,6 +80,27 @@ def test_frozen_params_unchanged(setup):
     assert not np.array_equal(np.asarray(b2), np.asarray(a2))
 
 
+def test_frozen_stage_grads_pruned(setup):
+    """The backward never computes frozen-stage weight grads: the module's
+    stop_gradient at the freeze_at_stage boundary (resnet.py) yields exact
+    zeros — the FLOP equivalent of torch's requires_grad=False pruning
+    (reference resnet.py:94-103) — while trainable grads are nonzero."""
+    from stemseg_tpu.training.step import make_loss_fn
+
+    cfg, model, batch, state, tx = setup
+    loss_fn = make_loss_fn(model, cfg)
+    grads = jax.grad(lambda p, c, b: loss_fn(p, c, b)[0])(
+        state.params, state.constants, jax.tree.map(jnp.asarray, batch))
+    body = grads["body"]
+    for name, sub in body.items():
+        leaves = np.concatenate([np.abs(np.asarray(l)).ravel()
+                                 for l in jax.tree.leaves(sub)])
+        if name == "stem" or name.startswith("layer1_"):
+            assert leaves.max() == 0.0, f"frozen grad nonzero in body/{name}"
+        else:
+            assert leaves.max() > 0.0, f"trainable grad all-zero in body/{name}"
+
+
 def test_freeze_labels_full_backbone():
     cfg = _tiny_cfg(freeze_backbone=True)
     model = build_model(cfg, for_training=True)
