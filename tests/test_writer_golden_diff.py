@@ -16,7 +16,12 @@ last-ULP rounding legitimately differ (measured: torch 0.5000001 vs jax
 0.5000000 on an exact-0.5 pixel), so byte parity is unattainable without
 replicating torch's rounding-error pattern bit-for-bit. Every disagreeing
 pixel must therefore be PROVEN knife-edge via the pre-threshold float map
-(``mask_resize_floats``), and the disagreement budget is capped.
+(``mask_resize_floats``), and the budget is an ABSOLUTE pixel count per
+map, not a fraction. Geometries whose final resize is the identity (the
+padded-network-dims buckets, including the production 480x854 -> 480x864
+DAVIS geometry) only go through the exact-arithmetic x4 upsample (1/8-
+multiple weights, exact in fp32), so there the contract is 0 mismatches —
+byte-identical output.
 
 pycocotools is absent from this image; the subprocess stubs its ``mask``
 module with our RLE codec (independently tested against hand-derived
@@ -33,7 +38,8 @@ import numpy as np
 import pytest
 
 KNIFE_EPS = 3e-6
-MISMATCH_BUDGET = 0.005  # max fraction of pixels allowed to be knife-edge
+# absolute knife-edge pixels allowed per compared map (typical case: 0)
+PIXEL_BUDGET_ABS = 8
 
 pytestmark = pytest.mark.skipif(not os.path.isdir("/root/reference"),
                                 reason="reference repo not available")
@@ -83,10 +89,11 @@ def _run_reference_writer(tmp_path, name, labels, meta, category=None):
     return out_dir
 
 
-def _meta(dataset, seq_id, image_dims, labels, counts, lifetimes, **extra):
+def _meta(dataset, seq_id, image_dims, labels, counts, lifetimes,
+          min_dim=MIN_DIM, max_dim=MAX_DIM, **extra):
     base = {
         "dataset": dataset, "seq_id": seq_id, "image_dims": list(image_dims),
-        "min_dim": MIN_DIM, "max_dim": MAX_DIM, "mask_scale": 4,
+        "min_dim": min_dim, "max_dim": max_dim, "mask_scale": 4,
         "max_tracks": 4, "upscaled_inputs": False,
         "counts": [[int(k), int(v)] for k, v in counts.items()],
         "lifetimes": [[int(k), int(v)] for k, v in lifetimes.items()],
@@ -95,39 +102,54 @@ def _meta(dataset, seq_id, image_dims, labels, counts, lifetimes, **extra):
     return base
 
 
-# image dims chosen so the resized network input is SMALLER than the padded
-# dims: (40, 60) -> resized (32, 48), padded (32, 64) => right un-pad, and
-# (48, 30) -> resized (51, 32), padded (64, 32) => bottom un-pad
+# (image_dims, mask_hw, min_dim, max_dim, budget):
+# (40, 60) -> resized (32, 48), padded (32, 64) => right un-pad + final
+# bilinear resize (knife-edge pixels possible); (48, 30) -> resized
+# (51, 32), padded (64, 32) => bottom un-pad + resize; (32, 64) -> resized
+# == original == padded => no un-pad, identity resize, byte-exact contract;
+# (480, 854) with the production 480/864 policy -> padded (480, 864) =>
+# the REAL DAVIS right un-pad geometry, identity final resize, byte-exact.
 GEOMETRIES = [
-    pytest.param((40, 60), (8, 16), id="right_unpad"),
-    pytest.param((48, 30), (16, 8), id="bottom_unpad"),
+    pytest.param((40, 60), (8, 16), 32, 64, PIXEL_BUDGET_ABS,
+                 id="right_unpad"),
+    pytest.param((48, 30), (16, 8), 32, 64, PIXEL_BUDGET_ABS,
+                 id="bottom_unpad"),
+    pytest.param((32, 64), (8, 16), 32, 64, 0, id="identity_exact"),
+]
+PRODUCTION_GEOMETRY = [
+    pytest.param((480, 854), (120, 216), 480, 864, 0,
+                 id="production_480p_unpad_exact"),
 ]
 
 
-def _instance_float_maps(labels_t, kept, image_dims):
+def _instance_float_maps(labels_t, kept, image_dims, min_dim=MIN_DIM,
+                         max_dim=MAX_DIM):
     """Pre-threshold float maps [K, H, W] for frame ``labels_t``."""
     from stemseg_tpu.inference.output_utils.common import mask_resize_floats
 
     onehot = (labels_t[None] == np.asarray(kept).reshape(-1, 1, 1))
     return mask_resize_floats(onehot.astype(np.float32), 4, image_dims,
-                              MIN_DIM, MAX_DIM)
+                              min_dim, max_dim)
 
 
-def _assert_equal_mod_knife_edge(ref_map, our_map, floats, involved_fn, name):
+def _assert_equal_mod_knife_edge(ref_map, our_map, floats, involved_fn, name,
+                                 budget=PIXEL_BUDGET_ABS):
     """ref/our maps must agree except at pixels where one of the involved
     instances' float values is exactly on the 0.5 threshold.
 
     :param floats: [K, H, W] pre-threshold float maps of the kept instances
     :param involved_fn: (ref_val, our_val) -> iterable of kept-instance
         INDICES (0-based) whose threshold decision could explain the pixel
+    :param budget: ABSOLUTE number of knife-edge pixels tolerated in this
+        map; 0 for identity-resize geometries (exact arithmetic end-to-end)
     :return: number of knife-edge pixels
     """
     mism = np.nonzero(ref_map != our_map)
     n_bad = len(mism[0])
     if n_bad == 0:
         return 0
-    assert n_bad <= MISMATCH_BUDGET * ref_map.size, \
-        f"{name}: {n_bad} mismatched pixels exceeds the knife-edge budget"
+    assert n_bad <= budget, \
+        f"{name}: {n_bad} mismatched pixels exceeds the knife-edge budget {budget}"
     for y, x in zip(*mism):
         cands = list(involved_fn(ref_map[y, x], our_map[y, x]))
         assert cands and any(
@@ -138,8 +160,10 @@ def _assert_equal_mod_knife_edge(ref_map, our_map, floats, involved_fn, name):
     return n_bad
 
 
-@pytest.mark.parametrize("image_dims,mask_hw", GEOMETRIES)
-def test_davis_writer_golden_diff(tmp_path, image_dims, mask_hw):
+@pytest.mark.parametrize("image_dims,mask_hw,min_dim,max_dim,budget",
+                         GEOMETRIES + PRODUCTION_GEOMETRY)
+def test_davis_writer_golden_diff(tmp_path, image_dims, mask_hw, min_dim,
+                                  max_dim, budget):
     from stemseg_tpu.inference.chainer import track_stats
     from stemseg_tpu.inference.output_utils import DavisOutputGenerator
 
@@ -147,7 +171,8 @@ def test_davis_writer_golden_diff(tmp_path, image_dims, mask_hw):
     labels = _synthetic_labels(h=h, w=w)
     counts, lifetimes = track_stats(labels)
     seq_id = "golden_seq"
-    meta = _meta("davis", seq_id, image_dims, labels, counts, lifetimes)
+    meta = _meta("davis", seq_id, image_dims, labels, counts, lifetimes,
+                 min_dim=min_dim, max_dim=max_dim)
 
     ref_dir = _run_reference_writer(tmp_path, f"davis_{image_dims[0]}",
                                     labels, meta)
@@ -156,7 +181,7 @@ def test_davis_writer_golden_diff(tmp_path, image_dims, mask_hw):
     gen = DavisOutputGenerator(our_dir)
     gen.process_sequence(_Seq(seq_id, image_dims), labels.astype(np.int32),
                          counts, lifetimes, None, mask_scale=4, max_tracks=4,
-                         min_dim=MIN_DIM, max_dim=MAX_DIM)
+                         min_dim=min_dim, max_dim=max_dim)
 
     from PIL import Image
     from stemseg_tpu.inference.output_utils.common import select_instances_to_keep
@@ -171,17 +196,20 @@ def test_davis_writer_golden_diff(tmp_path, image_dims, mask_hw):
         assert ref_img.mode == our_img.mode == "P"
         assert ref_img.getpalette() == our_img.getpalette()
         ref_map, our_map = np.array(ref_img), np.array(our_img)
-        floats = _instance_float_maps(labels[t], kept, image_dims)
+        floats = _instance_float_maps(labels[t], kept, image_dims,
+                                      min_dim, max_dim)
         # a disagreeing pixel involves the index map values on both sides
         # (PNG value v = kept-instance index v-1; 0 = background)
         _assert_equal_mod_knife_edge(
             ref_map, our_map, floats,
             lambda r, o: [v - 1 for v in (int(r), int(o)) if v > 0],
-            f"davis {fname}")
+            f"davis {fname}", budget=budget)
 
 
-@pytest.mark.parametrize("image_dims,mask_hw", GEOMETRIES)
-def test_ytvis_writer_golden_diff(tmp_path, image_dims, mask_hw):
+@pytest.mark.parametrize("image_dims,mask_hw,min_dim,max_dim,budget",
+                         GEOMETRIES)
+def test_ytvis_writer_golden_diff(tmp_path, image_dims, mask_hw, min_dim,
+                                  max_dim, budget):
     from stemseg_tpu.inference.chainer import track_stats
     from stemseg_tpu.inference.output_utils import YoutubeVISOutputGenerator
 
@@ -193,7 +221,7 @@ def test_ytvis_writer_golden_diff(tmp_path, image_dims, mask_hw):
     category = (rng.randn(labels.shape[0], h, w, n_classes) * 3).astype(np.float32)
     names = {i: f"cls{i}" for i in range(1, n_classes)}
     meta = _meta("ytvis", 7, image_dims, labels, counts, lifetimes,
-                 category_names=names)
+                 min_dim=min_dim, max_dim=max_dim, category_names=names)
 
     ref_dir = _run_reference_writer(tmp_path, f"ytvis_{image_dims[0]}",
                                     labels, meta, category=category)
@@ -202,7 +230,7 @@ def test_ytvis_writer_golden_diff(tmp_path, image_dims, mask_hw):
     gen = YoutubeVISOutputGenerator(our_dir, category_names=names)
     gen.process_sequence(_Seq(7, image_dims), labels.astype(np.int32),
                          counts, lifetimes, category, mask_scale=4,
-                         max_tracks=4, min_dim=MIN_DIM, max_dim=MAX_DIM)
+                         max_tracks=4, min_dim=min_dim, max_dim=max_dim)
     gen.save()
 
     from stemseg_tpu.inference.output_utils.common import select_instances_to_keep
@@ -231,14 +259,18 @@ def test_ytvis_writer_golden_diff(tmp_path, image_dims, mask_hw):
                 {"size": rs["size"], "counts": rs["counts"].encode()})
             our_m = rle_codec.decode(
                 {"size": os_["size"], "counts": os_["counts"].encode()})
-            floats = _instance_float_maps(labels[t], kept, image_dims)
+            floats = _instance_float_maps(labels[t], kept, image_dims,
+                                          min_dim, max_dim)
             _assert_equal_mod_knife_edge(ref_m, our_m, floats,
                                          lambda r, o: [k],
-                                         f"ytvis track {k} frame {t}")
+                                         f"ytvis track {k} frame {t}",
+                                         budget=budget)
 
 
-@pytest.mark.parametrize("image_dims,mask_hw", GEOMETRIES)
-def test_kitti_writer_golden_diff(tmp_path, image_dims, mask_hw):
+@pytest.mark.parametrize("image_dims,mask_hw,min_dim,max_dim,budget",
+                         GEOMETRIES)
+def test_kitti_writer_golden_diff(tmp_path, image_dims, mask_hw, min_dim,
+                                  max_dim, budget):
     from stemseg_tpu.inference.chainer import track_stats
     from stemseg_tpu.inference.output_utils import KittiMOTSOutputGenerator
 
@@ -249,7 +281,8 @@ def test_kitti_writer_golden_diff(tmp_path, image_dims, mask_hw):
     # argmax semseg labels {0, 1, 2}, biased to nonzero on instance pixels
     category = rng.randint(0, 3, labels.shape).astype(np.int64)
     category[labels > 0] = 1 + (category[labels > 0] % 2)
-    meta = _meta("kittimots", "0002", image_dims, labels, counts, lifetimes)
+    meta = _meta("kittimots", "0002", image_dims, labels, counts, lifetimes,
+                 min_dim=min_dim, max_dim=max_dim)
 
     ref_dir = _run_reference_writer(tmp_path, f"kitti_{image_dims[0]}",
                                     labels, meta, category=category)
@@ -258,7 +291,7 @@ def test_kitti_writer_golden_diff(tmp_path, image_dims, mask_hw):
     gen = KittiMOTSOutputGenerator(our_dir)
     gen.process_sequence(_Seq("0002", image_dims), labels.astype(np.int32),
                          counts, lifetimes, category, mask_scale=4,
-                         max_tracks=4, min_dim=MIN_DIM, max_dim=MAX_DIM)
+                         max_tracks=4, min_dim=min_dim, max_dim=max_dim)
 
     from stemseg_tpu.inference.output_utils.common import select_instances_to_keep
     from stemseg_tpu.utils import rle as rle_codec
@@ -283,9 +316,11 @@ def test_kitti_writer_golden_diff(tmp_path, image_dims, mask_hw):
         hh, ww = int(rl[3]), int(rl[4])
         ref_m = rle_codec.decode({"size": [hh, ww], "counts": rl[5].encode()})
         our_m = rle_codec.decode({"size": [hh, ww], "counts": ol[5].encode()})
-        floats = _instance_float_maps(labels[t], kept, image_dims)
+        floats = _instance_float_maps(labels[t], kept, image_dims,
+                                      min_dim, max_dim)
         # the per-pixel max over instance ids means any kept instance's
         # knife-edge flip can move a pixel between tracks
         _assert_equal_mod_knife_edge(ref_m, our_m, floats,
                                      lambda r, o: range(len(kept)),
-                                     f"kitti line frame {t} id {rl[1]}")
+                                     f"kitti line frame {t} id {rl[1]}",
+                                     budget=budget)
