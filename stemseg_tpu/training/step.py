@@ -67,7 +67,11 @@ def prepare_targets(masks: jnp.ndarray, ignore_masks: jnp.ndarray,
     return masks_ds, ignore_ds, semseg_labels
 
 
-def make_loss_fn(model: STEmSegModel, cfg: Config) -> Callable:
+def make_output_loss_fn(model: STEmSegModel, cfg: Config) -> Callable:
+    """The loss composition AFTER the network forward: ``(out, batch) ->
+    (total, metrics)``. Split out from :func:`make_loss_fn` so tooling
+    (``bench_train_phases.py``) can time/FLOP-count the loss math in
+    isolation on precomputed outputs."""
     lcfg = cfg.training.losses
     emb_params = EmbeddingLossParams(
         embedding_size=cfg.model.embeddings.embedding_size,
@@ -81,9 +85,7 @@ def make_loss_fn(model: STEmSegModel, cfg: Config) -> Callable:
     # LOSS_AT_FULL_RES upscales outputs 4x => targets stay at full res
     target_scale = 1 if cfg.training.loss_at_full_res else 4
 
-    def loss_fn(params, constants, batch):
-        out = model.apply({"params": params, "constants": constants},
-                          batch["images"])
+    def output_loss_fn(out, batch):
         # masks ship uint8 (4x smaller H2D); all loss math is float32
         masks_f = batch["masks"].astype(jnp.float32)
         ignore_f = batch["ignore_masks"].astype(jnp.float32)
@@ -115,6 +117,17 @@ def make_loss_fn(model: STEmSegModel, cfg: Config) -> Callable:
 
         metrics["total"] = total
         return total, metrics
+
+    return output_loss_fn
+
+
+def make_loss_fn(model: STEmSegModel, cfg: Config) -> Callable:
+    output_loss_fn = make_output_loss_fn(model, cfg)
+
+    def loss_fn(params, constants, batch):
+        out = model.apply({"params": params, "constants": constants},
+                          batch["images"])
+        return output_loss_fn(out, batch)
 
     return loss_fn
 
