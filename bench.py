@@ -16,6 +16,14 @@ I/O excluded):
   variable bulk bandwidth (measured 8-116 MB/s run-to-run); the wall number
   includes those transfers (best + median of 5).
 
+* ``train_step_ms_*`` — one optimizer iteration of the jitted train step at
+  the production geometry [1, T, 736, 1248] (davis_1 fp32 + mixed
+  precision, davis_2 16-frame + remat), with train-step MFU from XLA cost
+  analysis and the samples/s the step consumes — the reference's sec/iter
+  report (``training/main.py:232-238``);
+* ``tunnel_h2d_mbps`` — measured bulk host->device bandwidth, printed so
+  wall-clock e2e regressions are attributable to the rig vs the code.
+
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 ``vs_baseline`` is vs the reference's V100 fps — unpublished (BASELINE.md),
 so null until a reference measurement exists.
@@ -155,6 +163,85 @@ def bench_e2e(cfg, variables, dtype=None):
     return wall_best, wall_median, device_fps
 
 
+def bench_h2d():
+    """Measured tunnel/PCIe host->device bandwidth on a bulk uint8 transfer
+    (~39 MB, the shape of a 32-frame 480p raw-uint8 ship). The axon tunnel's
+    bulk bandwidth varies 10x run to run; reporting it beside the wall e2e
+    number makes regressions attributable to the rig vs the code."""
+    import jax
+
+    arr = np.zeros((32, 480, 854, 3), np.uint8)
+    x = jax.device_put(arr)  # warm the transfer path / layouts
+    sync_tiny(x)
+    times = []
+    for _ in range(3):
+        start = time.perf_counter()
+        x = jax.device_put(arr)
+        sync_tiny(x)
+        times.append(time.perf_counter() - start)
+    return arr.nbytes / min(times) / 1e6
+
+
+def bench_train(preset, mixed_precision=False, remat=False, n_instances=8):
+    """One optimizer iteration of the real jitted train step (forward +
+    losses + backward + SGD update) at the preset's production geometry
+    [1, T, 736, 1248] — the reference's sec/iter report semantics
+    (``/root/reference/stemseg/training/main.py:232-238``), measured on
+    device. Returns (step_ms, samples/s, mfu)."""
+    import jax
+    import jax.numpy as jnp
+
+    from stemseg_tpu.config import load_preset, merge
+    from stemseg_tpu.models import build_model
+    from stemseg_tpu.training.step import create_train_state, make_train_step
+
+    cfg = load_preset(preset)
+    if mixed_precision:
+        cfg = merge(cfg, {"training": {"mixed_precision": True}})
+    t = cfg.input.num_frames
+    h, w = 736, 1248
+
+    model = build_model(cfg, for_training=True, remat_backbone=remat)
+    state, tx = create_train_state(
+        model, cfg, jax.random.PRNGKey(0),
+        jnp.zeros((1, t, 64, 96, 3), jnp.float32))
+    state = jax.device_put(state)
+    step_fn = make_train_step(model, cfg, tx, donate=False)
+
+    # batch generated ON-DEVICE (bulk H2D through the tunnel can crawl)
+    k1, k2 = jax.random.split(jax.random.PRNGKey(1))
+    batch = {
+        "images": jax.random.normal(k1, (1, t, h, w, 3), jnp.float32) * 50.0,
+        "masks": (jax.random.uniform(k2, (1, n_instances, t, h, w))
+                  < 0.2).astype(jnp.uint8),
+        "ignore_masks": jnp.zeros((1, t, h, w), jnp.uint8),
+        "category_ids": jnp.ones((1, n_instances), jnp.int32),
+    }
+    compiled = step_fn.lower(state, batch).compile()
+
+    state, metrics = compiled(state, batch)
+    sync_tiny(metrics["total"])
+
+    iters = 5
+    start = time.perf_counter()
+    for _ in range(iters):
+        state, metrics = compiled(state, batch)
+    sync_tiny(metrics["total"])
+    dt = (time.perf_counter() - start) / iters
+
+    try:
+        ca = compiled.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        flops = float(ca.get("flops", 0.0))
+    except Exception:
+        flops = 0.0
+    dev_kind = jax.devices()[0].device_kind
+    peak = _PEAK_TFLOPS.get(dev_kind, 0.0) * 1e12
+    mfu = flops / dt / peak if (flops and peak) else None
+    return dt * 1e3, 1.0 / dt, mfu
+
+
 def main():
     import jax
 
@@ -173,6 +260,12 @@ def main():
     clips_bf16, mfu_bf16 = bench_forward(cfg, variables, model, "bf16")
     e2e_fps, e2e_fps_median, e2e_device_fps = bench_e2e(cfg, variables)
     _, _, e2e_device_fps_bf16 = bench_e2e(cfg, variables, dtype=jnp.bfloat16)
+    h2d_mbps = bench_h2d()
+
+    train_ms, train_sps, train_mfu = bench_train("davis_1")
+    train_ms_bf16, _, train_mfu_bf16 = bench_train("davis_1",
+                                                  mixed_precision=True)
+    train_ms_d2, _, _ = bench_train("davis_2", remat=True)
 
     print(json.dumps({
         "metric": "480p_8frame_clips_per_sec_per_chip",
@@ -187,6 +280,13 @@ def main():
         "e2e_pipeline_fps_median": round(e2e_fps_median, 2),
         "e2e_device_fps": round(e2e_device_fps, 2),
         "e2e_device_fps_bf16": round(e2e_device_fps_bf16, 2),
+        "tunnel_h2d_mbps": round(h2d_mbps, 1),
+        "train_step_ms_davis1_fp32": round(train_ms, 1),
+        "train_step_ms_davis1_bf16": round(train_ms_bf16, 1),
+        "train_step_ms_davis2_remat": round(train_ms_d2, 1),
+        "train_samples_per_sec_davis1": round(train_sps, 3),
+        "train_mfu_davis1_fp32": round(train_mfu, 4) if train_mfu else None,
+        "train_mfu_davis1_bf16": round(train_mfu_bf16, 4) if train_mfu_bf16 else None,
     }))
 
 

@@ -4,15 +4,24 @@ Measures the training data pipeline's sustained sample-build rate with FULL
 augmentation — COCO image -> 8-frame clip synthesis (perspective/affine/
 photometric warps, ``data/augmenter.py``) at davis_1 production dims
 (min 736 / max 1248) plus collation — and compares it against the measured
-370 ms/iter davis_1 train step (BASELINE.md).
+278 ms/iter davis_1 train step (BASELINE.md).
 
 Because loader workers are plain threads (``training/loader.py``), their
 multi-core scaling is bounded by the fraction of build time that HOLDS the
 GIL (cv2 warps, numpy resizes and the ctypes RLE codec all release it).
-This bench measures that fraction directly with a probe thread: the
-achievable rate on an N-core host is approximately
-
-    serial_rate * min(N, 1 / gil_held_fraction)
+This bench measures that fraction directly with a probe thread AND measures
+the actual sustained rate with 1 / 2 / 4 concurrent workers (the scaling
+curve). On a single-core host the workers oversubscribe the core, so the
+curve bounds the contention cost rather than showing speedup. Measured on
+the idle 1-core dev box (BASELINE.md): 3.12 / 3.21 / 2.88 samples/s at
+1 / 2 / 4 workers — 1-2 workers BEAT the 2.4-2.8 serial rate (prefetch
+overlaps collate in the consumer thread), and 4x oversubscription costs
+only ~10%; the GIL-held fraction rises 0.05 -> 0.22 with worker count
+(handoff overhead, serial probe 0.04-0.06). Practical sizing on an N-core
+host: num_workers <= N avoids oversubscription entirely, and the serial
+GIL-held fraction bounds thread scaling at ~1/0.05 = 20 workers before GIL
+serialization bites; both bounds comfortably cover the reference's
+8-worker default (``training/utils.py:235-252``).
 
 Prints ONE JSON line. Run ``python bench_input.py`` on any host (synthetic
 JPEG dataset, no real data needed).
@@ -89,7 +98,7 @@ def main():
     from stemseg_tpu.training.loader import PrefetchLoader
 
     cfg = load_preset("davis_1")
-    step_time_s = 0.370  # measured davis_1 train-step time (BASELINE.md)
+    step_time_s = 0.278  # measured davis_1 train-step time (BASELINE.md)
 
     with tempfile.TemporaryDirectory() as tmp:
         base_dir, json_path = build_synthetic_coco(tmp)
@@ -109,27 +118,44 @@ def main():
         serial_dt = (time.perf_counter() - t0) / n_serial
         gil_frac = probe.stop()
 
-        # threaded loader sustained rate
-        n_batches = 24
-        sampler = [[i % len(ds)] for i in range(n_batches + 4)]
-        loader = PrefetchLoader(ds, sampler, max_instances=16,
-                                num_workers=max(2, os.cpu_count() or 1),
-                                prefetch_depth=4)
-        it = iter(loader)
-        next(it)  # warm
-        t0 = time.perf_counter()
-        got = 0
-        for batch in it:
-            got += batch["images"].shape[0]
-            if got >= n_batches:
-                break
-        loader_rate = got / (time.perf_counter() - t0)
-        it.close()  # stop the worker threads before the tempdir vanishes
+        # MEASURED concurrency scaling curve (VERDICT r2 item 7): sustained
+        # loader rate + GIL-held fraction with 1 / 2 / 4 worker threads all
+        # doing full augmentation concurrently. On a 1-core host the curve
+        # measures CONTENTION, not speedup: if builds release the GIL as
+        # claimed, aggregate throughput holds ~serial rate and the GIL-held
+        # fraction stays far below the serialization threshold; lock or
+        # GIL contention would show as a falling aggregate rate.
+        def measure_loader(num_workers, n_batches=24):
+            sampler = [[i % len(ds)] for i in range(n_batches + 6)]
+            loader = PrefetchLoader(ds, sampler, max_instances=16,
+                                    num_workers=num_workers,
+                                    prefetch_depth=4)
+            it = iter(loader)
+            next(it)  # warm
+            p = GilProbe()
+            p.start()
+            t0 = time.perf_counter()
+            got = 0
+            for batch in it:
+                got += batch["images"].shape[0]
+                if got >= n_batches:
+                    break
+            rate = got / (time.perf_counter() - t0)
+            frac = p.stop()
+            it.close()  # stop the workers before the tempdir vanishes
+            return rate, frac
+
+        curve = {}
+        for nw in (1, 2, 4):
+            rate, frac = measure_loader(nw)
+            curve[nw] = {"rate": round(rate, 3),
+                         "gil_held_fraction": round(frac, 3)}
+        # headline = best sustained rate on THIS host (worker counts beyond
+        # the core count only add oversubscription cost — see docstring)
+        loader_rate = max(v["rate"] for v in curve.values())
 
     serial_rate = 1.0 / serial_dt
     n_cores = os.cpu_count() or 1
-    # threads scale until the GIL-held fraction serializes them
-    projected_8core = serial_rate * min(8, 1.0 / max(gil_frac, 1e-3))
     consumption = 1.0 / step_time_s  # samples/s per chip at batch 1
 
     print(json.dumps({
@@ -138,12 +164,11 @@ def main():
         "unit": "samples/s",
         "serial_build_ms": round(serial_dt * 1e3, 1),
         "serial_rate": round(serial_rate, 3),
-        "gil_held_fraction": round(gil_frac, 3),
+        "gil_held_fraction_serial": round(gil_frac, 3),
         "n_cores_this_host": n_cores,
-        "projected_rate_8core_threads": round(projected_8core, 2),
+        "scaling_curve": {f"{nw}_workers": v for nw, v in curve.items()},
         "train_step_consumption_per_chip": round(consumption, 2),
         "headroom_this_host": round(loader_rate / consumption, 2),
-        "headroom_8core_projected": round(projected_8core / consumption, 2),
     }))
 
 
