@@ -1,0 +1,177 @@
+"""IN-SITU ablation attribution of the fused sequence pipeline.
+
+``bench_fused_phases.py`` measures each phase in isolation at the fused
+shapes; the sum under-predicts the measured program (~33% residual in
+round 3) because isolated phases fuse freely while the in-situ versions
+pay the scan/cond machinery — ring-buffer carry copies, gather layouts,
+scan-output stacking. This tool localizes those costs by ABLATION: rebuild
+the pipeline with one phase stubbed to same-shape zeros (graph structure
+preserved) and difference whole-program on-chip times:
+
+* ``no_heads``        — ``engine._heads_from_features`` stubbed: the delta
+  is the true in-situ cost of the 3D heads including their ring gathers;
+* ``no_backbone_new`` — schedule with ``has_new=False`` past window 0: the
+  per-window incremental backbone's ``lax.cond`` takes the pass-through
+  branch at runtime (same executable as the baseline — directly
+  comparable), isolating its in-situ cost;
+* ``no_cluster``      — ``_cluster_window_jit`` stubbed: scan B's
+  clustering cost in place.
+
+Ablated outputs are garbage by construction; only times matter. The
+residual after subtracting the deltas and the isolated prelude estimate is
+the irreducible machinery (scan/carry, scatter/derive, intersections,
+LUT/fetch round trips).
+
+Run on the real chip: ``python bench_fused_ablation.py``.
+"""
+
+import contextlib
+import json
+import time
+
+import numpy as np
+
+
+def _sync(x):
+    import jax
+
+    np.asarray(jax.tree.leaves(x)[0].ravel()[:1])
+
+
+def _time_pipeline(pipe, frames_dev, windows, iters=3):
+    def run():
+        labels_dev, _, _, fg_dev, _ = pipe.run(
+            frames_dev, windows, resize_hw=(480, 854), device_outputs=True)
+        _sync(labels_dev)
+
+    run()  # compile + warm
+    best = float("inf")
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        run()
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+@contextlib.contextmanager
+def _patched(obj, name, value):
+    orig = getattr(obj, name)
+    setattr(obj, name, value)
+    try:
+        yield
+    finally:
+        setattr(obj, name, orig)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from stemseg_tpu.config import default_config
+    from stemseg_tpu.inference import fused_pipeline as fp
+    from stemseg_tpu.inference.clustering import ClusterParams, ClusterResult
+    from stemseg_tpu.inference.engine import InferenceEngine
+    from stemseg_tpu.inference.windows import get_subsequence_frames
+    from stemseg_tpu.models import build_model
+    from stemseg_tpu.models.embedding_utils import get_nb_free_dims
+
+    cfg = default_config()
+    t_total, h0, w0 = 64, 480, 854
+    rng = np.random.RandomState(0)
+    frames = (rng.rand(t_total, h0, w0, 3) * 255).astype(np.uint8)
+    windows, _ = get_subsequence_frames(t_total, cfg.input.num_frames, 6)
+    t_win = cfg.input.num_frames
+
+    model = build_model(cfg, for_training=False)
+    variables = jax.device_put(model.init(
+        jax.random.PRNGKey(0), np.zeros((1, t_win, 64, 96, 3), np.float32)))
+
+    params = ClusterParams(
+        primary_prob_thresh=cfg.clustering.primary_prob_threshold,
+        secondary_prob_thresh=cfg.clustering.secondary_prob_threshold,
+        min_seediness_prob=cfg.clustering.min_seediness_prob,
+        max_instances=cfg.clustering.max_instances,
+        n_free_dims=get_nb_free_dims(cfg.model.embedding_dim_mode),
+        free_dim_stds=tuple(cfg.training.losses.embedding.free_dim_stds))
+
+    l_pad = fp._round_up(t_total, 16)
+    frames_padded = np.concatenate(
+        [frames, np.zeros((l_pad - t_total, h0, w0, 3), np.uint8)], 0)
+    frames_dev = jax.device_put(frames_padded)
+    _sync(frames_dev)
+
+    results = {}
+
+    # ---- full (baseline) ----
+    eng = InferenceEngine(cfg, variables)
+    pipe = fp.FusedSequencePipeline(eng, params)
+    t_full = _time_pipeline(pipe, frames_dev, windows)
+    results["full_ms"] = round(t_full * 1e3, 1)
+
+    # ---- no_backbone_new: same executable, has_new=False at runtime ----
+    orig_init = fp._Schedule.__init__
+
+    def patched_init(self, *a, **k):
+        orig_init(self, *a, **k)
+        self.has_new = np.zeros_like(self.has_new)
+
+    with _patched(fp._Schedule, "__init__", patched_init):
+        t = _time_pipeline(pipe, frames_dev, windows)
+    results["no_backbone_new_ms"] = round(t * 1e3, 1)
+    results["backbone_new_in_situ_ms"] = round((t_full - t) * 1e3, 1)
+
+    # ---- no_heads: stub the 3D heads to same-shape zeros ----
+    eng2 = InferenceEngine(cfg, variables)
+    n_map_ch = cfg.input.num_classes + (
+        1 if (eng2.semseg_head is not None
+              and eng2.semseg_head.foreground_channel) else 0)
+    ss = eng2.semseg_resize_scale
+
+    def zero_heads(coarsest_first, variables=None):
+        f = coarsest_first[-1]  # finest level [1, T, h4, w4, C]
+        h4, w4 = f.shape[2], f.shape[3]
+        dt = jnp.float32
+        semseg = (jnp.zeros((t_win, int(h4 * ss), int(w4 * ss), n_map_ch), dt)
+                  if eng2.semseg_head is not None else None)
+        return (jnp.zeros((t_win, h4, w4, eng2.embedding_size), dt),
+                jnp.zeros((t_win, h4, w4, eng2.variance_channels), dt),
+                jnp.zeros((t_win, h4, w4), dt),
+                semseg)
+
+    eng2._heads_from_features = zero_heads
+    pipe2 = fp.FusedSequencePipeline(eng2, params)
+    t = _time_pipeline(pipe2, frames_dev, windows)
+    results["no_heads_ms"] = round(t * 1e3, 1)
+    results["heads_in_situ_ms"] = round((t_full - t) * 1e3, 1)
+
+    # ---- no_cluster: clustering stubbed to empty result ----
+    def zero_cluster(emb, bw, seed, fg, label_base, cp, backend):
+        k = cp.max_instances
+        t_w, hh, ww = seed.shape
+        e_full = emb.shape[-1]
+        return ClusterResult(
+            labels=jnp.full((t_w, hh, ww), -1, jnp.int32),
+            centers=jnp.zeros((k, e_full), jnp.float32),
+            bandwidths=jnp.zeros((k, e_full), jnp.float32),
+            valid=jnp.zeros((k,), bool),
+            seed_probs=jnp.zeros((k,), jnp.float32))
+
+    with _patched(fp, "_cluster_window_jit", zero_cluster):
+        pipe3 = fp.FusedSequencePipeline(InferenceEngine(cfg, variables),
+                                         params)
+        t = _time_pipeline(pipe3, frames_dev, windows)
+    results["no_cluster_ms"] = round(t * 1e3, 1)
+    results["cluster_in_situ_ms"] = round((t_full - t) * 1e3, 1)
+
+    explained = (results["heads_in_situ_ms"]
+                 + results["backbone_new_in_situ_ms"]
+                 + results["cluster_in_situ_ms"])
+    results["machinery_residual_ms"] = round(results["full_ms"] - explained, 1)
+    results["note"] = ("machinery_residual = full - in-situ deltas: prelude "
+                       "backbone, scatter/derive, intersections, scan/carry "
+                       "overhead, LUT/association round trips")
+    print(json.dumps(results))
+
+
+if __name__ == "__main__":
+    main()
