@@ -96,6 +96,10 @@ def run_dataset(dataset: str, ckpt: str, out_root: str, args) -> dict:
         cli.append("--bf16")
     if args.seqs:
         cli += ["--seqs"] + list(args.seqs)
+    if args.frame_overlap is not None:
+        # required when the checkpoint's NUM_FRAMES is below the dataset's
+        # default overlap (the CLI asserts overlap < window length)
+        cli += ["--frame_overlap", str(args.frame_overlap)]
 
     Timer.reset()
     t0 = time.perf_counter()
@@ -149,6 +153,9 @@ def main(argv=None):
                         help="restrict to these sequence ids (smoke runs)")
     parser.add_argument("--bf16", action="store_true",
                         help="bf16 compute in the forward (parity-tested)")
+    parser.add_argument("--frame_overlap", type=int, default=None,
+                        help="override the dataset's window overlap (must "
+                             "be < the model's NUM_FRAMES)")
     args = parser.parse_args(argv)
 
     os.makedirs(args.output_dir, exist_ok=True)
@@ -160,7 +167,13 @@ def main(argv=None):
             print(f"[eval_all] SKIP {ds}: env vars not set: {missing}",
                   file=sys.stderr)
             continue
-        ckpt = _find_ckpt(args.models_dir, names)
+        try:
+            ckpt = _find_ckpt(args.models_dir, names)
+        except FileNotFoundError as exc:
+            # skip-and-continue, like the missing-env-var case: the runbook
+            # scores whatever checkpoints are present
+            print(f"[eval_all] SKIP {ds}: {exc}", file=sys.stderr)
+            continue
         print(f"[eval_all] {ds}: {ckpt}", file=sys.stderr)
         per_dataset[ds] = run_dataset(ds, ckpt, args.output_dir, args)
 

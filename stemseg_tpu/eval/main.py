@@ -56,9 +56,12 @@ def eval_ytvis(results_json: str, seqs=None) -> dict:
 
     sequences, _ = parse_generic_video_dataset(
         YoutubeVISPaths.val_base_dir(), YoutubeVISPaths.val_vds_file())
+    # CLI --seqs arrive as strings; YT-VIS sequence ids are ints — compare
+    # as strings (same coercion as the inference CLI's seq filter)
+    seqs = {str(s) for s in seqs} if seqs else None
     gt_tracks = []
     for seq in sequences:
-        if seqs and seq.id not in seqs:
+        if seqs and str(seq.id) not in seqs:
             continue
         vols = _gt_object_volumes(seq)
         for k, iid in enumerate(seq.instance_ids):
@@ -69,7 +72,7 @@ def eval_ytvis(results_json: str, seqs=None) -> dict:
             })
     preds = load_ytvis_results_json(results_json)
     if seqs:
-        preds = [p for p in preds if p["video"] in seqs]
+        preds = [p for p in preds if str(p["video"]) in seqs]
     return evaluate_ytvis(gt_tracks, preds)
 
 

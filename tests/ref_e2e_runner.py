@@ -28,39 +28,11 @@ import sys
 import types
 
 
-def _install_stubs(repo_root="/root/repo"):
-    sys.path.insert(0, repo_root)
+from _ref_stubs import install_stubs
 
-    from stemseg_tpu.utils import rle as rle_codec
 
-    for mod_name in ("imgaug", "imgaug.augmenters",
-                     "imgaug.augmentables", "imgaug.augmentables.segmaps"):
-        if mod_name not in sys.modules:
-            mod = types.ModuleType(mod_name)
-            mod.__path__ = []
-            sys.modules[mod_name] = mod
-            parent, _, child = mod_name.rpartition(".")
-            if parent:
-                setattr(sys.modules[parent], child, mod)
-    sys.modules["imgaug.augmentables.segmaps"].SegmentationMapsOnImage = object
-
-    pm = types.ModuleType("pycocotools")
-    pm.__path__ = []
-    mask_mod = types.ModuleType("pycocotools.mask")
-    mask_mod.encode = rle_codec.encode
-    mask_mod.decode = rle_codec.decode
-    mask_mod.area = rle_codec.area
-    mask_mod.toBbox = rle_codec.toBbox
-    pm.mask = mask_mod
-    sys.modules["pycocotools"] = pm
-    sys.modules["pycocotools.mask"] = mask_mod
-
-    import yaml
-
-    if not getattr(yaml, "_stemseg_patched", False):
-        orig = yaml.load
-        yaml.load = lambda s, Loader=None: orig(s, Loader=Loader or yaml.SafeLoader)
-        yaml._stemseg_patched = True
+def _install_stubs(*a, **k):
+    install_stubs(rle_codec=True)
 
 
 def _patch_cuda_to_cpu():

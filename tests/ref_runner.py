@@ -18,32 +18,11 @@ import types
 import numpy as np
 
 
-def _install_stubs():
-    stub_names = (
-        "pycocotools", "pycocotools.mask",
-        "imgaug", "imgaug.augmenters",
-        "imgaug.augmentables", "imgaug.augmentables.segmaps",
-    )
-    for mod_name in stub_names:
-        if mod_name not in sys.modules:
-            mod = types.ModuleType(mod_name)
-            mod.__path__ = []
-            sys.modules[mod_name] = mod
-            parent, _, child = mod_name.rpartition(".")
-            if parent:
-                setattr(sys.modules[parent], child, mod)
-    sys.modules["imgaug.augmentables.segmaps"].SegmentationMapsOnImage = object
+from _ref_stubs import install_stubs
 
-    import yaml
 
-    if not getattr(yaml, "_stemseg_patched", False):
-        orig_load = yaml.load
-
-        def load(stream, Loader=None):
-            return orig_load(stream, Loader=Loader or yaml.SafeLoader)
-
-        yaml.load = load
-        yaml._stemseg_patched = True
+def _install_stubs(*a, **k):
+    install_stubs(rle_codec=False)
 
 
 def main(input_npz: str, out_npz: str, variant: str = "default",

@@ -39,26 +39,11 @@ import sys
 import types
 
 
-def _install_stubs():
-    for mod_name in (
-            "pycocotools", "pycocotools.mask",
-            "imgaug", "imgaug.augmenters",
-            "imgaug.augmentables", "imgaug.augmentables.segmaps"):
-        if mod_name not in sys.modules:
-            mod = types.ModuleType(mod_name)
-            mod.__path__ = []
-            sys.modules[mod_name] = mod
-            parent, _, child = mod_name.rpartition(".")
-            if parent:
-                setattr(sys.modules[parent], child, mod)
-    sys.modules["imgaug.augmentables.segmaps"].SegmentationMapsOnImage = object
+from _ref_stubs import install_stubs
 
-    import yaml
 
-    if not getattr(yaml, "_stemseg_patched", False):
-        orig = yaml.load
-        yaml.load = lambda s, Loader=None: orig(s, Loader=Loader or yaml.SafeLoader)
-        yaml._stemseg_patched = True
+def _install_stubs(*a, **k):
+    install_stubs(rle_codec=False)
 
 
 def main(model_dir, in_npz, out_npz, reference_root="/root/reference"):

@@ -29,6 +29,14 @@ def test_eval_all_davis_smoke(tmp_path, monkeypatch):
     models_dir = str(tmp_path / "models")
     os.makedirs(models_dir)
     os.rename(model_pth, os.path.join(models_dir, "davis.pth"))
+    # config.yaml must travel WITH the checkpoint: the inference CLI reads
+    # the config next to the .pth, else silently falls back to the davis_2
+    # preset (R-101/16-frame) — wrong model for this checkpoint and ~10x
+    # slower on CPU
+    import shutil
+
+    shutil.copy(os.path.join(os.path.dirname(model_pth), "config.yaml"),
+                os.path.join(models_dir, "config.yaml"))
 
     monkeypatch.setenv("DAVIS_BASE_DIR", base_dir)
     monkeypatch.setenv("STEMSEG_JSON_ANNOTATIONS_DIR", ann_dir)
@@ -38,9 +46,12 @@ def test_eval_all_davis_smoke(tmp_path, monkeypatch):
     import eval_all
 
     out_dir = str(tmp_path / "out")
+    # frame_overlap 2 < the test config's NUM_FRAMES=4 (the davis default
+    # overlap of 6 only fits production window lengths)
     per_dataset = eval_all.main(["--models_dir", models_dir,
                                  "--output_dir", out_dir,
-                                 "--datasets", "davis"])
+                                 "--datasets", "davis",
+                                 "--frame_overlap", "2"])
 
     assert "davis" in per_dataset
     metrics = per_dataset["davis"]["metrics"]
