@@ -93,12 +93,15 @@ def bench_forward(cfg, variables, model, dtype_name="fp32"):
     return n / dt, mfu
 
 
-def bench_e2e(cfg, variables, dtype=None):
+def bench_e2e(cfg, variables, dtype=None, wall=True):
     """Fused one-jit pipeline (the CLI path): whole sequence -> labels in
     <=3 host round-trips. Wall fps (best AND median of 5 — tunnel transfer
     bandwidth varies 10x run to run) plus the on-chip number with frames
     pre-staged in HBM and outputs left on device. ``dtype=bfloat16``
-    measures the CLI's ``--bf16`` path (device fps only, skip wall)."""
+    measures the CLI's ``--bf16`` path (device fps only, skip wall);
+    ``wall=False`` skips the bulk-H2D wall loop for callers that only
+    consume ``device_fps`` (each wall run ships ~39 MB through the
+    tunnel)."""
     import jax
 
     from stemseg_tpu.inference.clustering import ClusterParams
@@ -123,7 +126,7 @@ def bench_e2e(cfg, variables, dtype=None):
         free_dim_stds=tuple(cfg.training.losses.embedding.free_dim_stds))
     pipe = FusedSequencePipeline(engine, params)
 
-    if dtype is None:
+    if dtype is None and wall:
         def run_wall():
             return pipe.run(frames, windows, resize_hw=(480, 854))[0]
 

@@ -17,6 +17,13 @@ preserved) and difference whole-program on-chip times:
 * ``no_cluster``      — ``_cluster_window_jit`` stubbed: scan B's
   clustering cost in place.
 
+DCE guard: a stub that returns pure zeros makes everything upstream of it
+dead (the no_heads run would DCE the whole backbone, the no_cluster run
+would DCE the heads) and the deltas would double-count. Every stub
+therefore carries a value-preserving ``1e-30 * sum(input)`` dependency on
+its full input, exactly like ``bench_fused_phases.time_ingraph`` — the
+upstream phases stay live, only the stubbed phase's own compute vanishes.
+
 Ablated outputs are garbage by construction; only times matter. The
 residual after subtracting the deltas and the isolated prelude estimate is
 the irreducible machinery (scan/carry, scatter/derive, intersections,
@@ -77,8 +84,6 @@ def main():
 
     cfg = default_config()
     t_total, h0, w0 = 64, 480, 854
-    rng = np.random.RandomState(0)
-    frames = (rng.rand(t_total, h0, w0, 3) * 255).astype(np.uint8)
     windows, _ = get_subsequence_frames(t_total, cfg.input.num_frames, 6)
     t_win = cfg.input.num_frames
 
@@ -94,10 +99,12 @@ def main():
         n_free_dims=get_nb_free_dims(cfg.model.embedding_dim_mode),
         free_dim_stds=tuple(cfg.training.losses.embedding.free_dim_stds))
 
+    # frames generated ON-DEVICE (CLAUDE.md: no >10 MB device_put through
+    # the tunnel); values are irrelevant — ablated outputs are garbage
     l_pad = fp._round_up(t_total, 16)
-    frames_padded = np.concatenate(
-        [frames, np.zeros((l_pad - t_total, h0, w0, 3), np.uint8)], 0)
-    frames_dev = jax.device_put(frames_padded)
+    frames_dev = jax.jit(lambda key: jax.random.randint(
+        key, (l_pad, h0, w0, 3), 0, 256, jnp.int32).astype(jnp.uint8))(
+        jax.random.PRNGKey(0))
     _sync(frames_dev)
 
     results = {}
@@ -131,11 +138,15 @@ def main():
         f = coarsest_first[-1]  # finest level [1, T, h4, w4, C]
         h4, w4 = f.shape[2], f.shape[3]
         dt = jnp.float32
-        semseg = (jnp.zeros((t_win, int(h4 * ss), int(w4 * ss), n_map_ch), dt)
+        # DCE guard: keep the backbone + ring gathers alive via a full-input
+        # reduction (the FPN's finest map depends on every backbone stage)
+        eps = 1e-30 * jnp.sum(f.astype(dt))
+        semseg = (eps + jnp.zeros((t_win, int(h4 * ss), int(w4 * ss),
+                                   n_map_ch), dt)
                   if eng2.semseg_head is not None else None)
-        return (jnp.zeros((t_win, h4, w4, eng2.embedding_size), dt),
-                jnp.zeros((t_win, h4, w4, eng2.variance_channels), dt),
-                jnp.zeros((t_win, h4, w4), dt),
+        return (eps + jnp.zeros((t_win, h4, w4, eng2.embedding_size), dt),
+                eps + jnp.zeros((t_win, h4, w4, eng2.variance_channels), dt),
+                eps + jnp.zeros((t_win, h4, w4), dt),
                 semseg)
 
     eng2._heads_from_features = zero_heads
@@ -149,12 +160,19 @@ def main():
         k = cp.max_instances
         t_w, hh, ww = seed.shape
         e_full = emb.shape[-1]
+        # DCE guard: full-input reduction keeps scan A's heads (which
+        # produce emb/bw/seed) alive; flows out via seed_probs/centers,
+        # which are jit outputs
+        eps = 1e-30 * (jnp.sum(emb) + jnp.sum(bw) + jnp.sum(seed))
+        # labels must be data-dependent too: constant labels would let XLA
+        # constant-fold the downstream one-hot intersection matmuls
         return ClusterResult(
-            labels=jnp.full((t_w, hh, ww), -1, jnp.int32),
-            centers=jnp.zeros((k, e_full), jnp.float32),
+            labels=jnp.full((t_w, hh, ww), -1, jnp.int32)
+            + (eps > 1.0).astype(jnp.int32),
+            centers=eps + jnp.zeros((k, e_full), jnp.float32),
             bandwidths=jnp.zeros((k, e_full), jnp.float32),
             valid=jnp.zeros((k,), bool),
-            seed_probs=jnp.zeros((k,), jnp.float32))
+            seed_probs=eps + jnp.zeros((k,), jnp.float32))
 
     with _patched(fp, "_cluster_window_jit", zero_cluster):
         pipe3 = fp.FusedSequencePipeline(InferenceEngine(cfg, variables),

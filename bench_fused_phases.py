@@ -181,14 +181,19 @@ def main():
         # ---- phase: intersection one-hots + matmul + commit ----
         k = params.max_instances
         band = 80
-        committed = jnp.full((l_pad + 1, h4, w4), -1, jnp.int32)
+        # committed passed as FLOAT so time_ingraph's carry perturbation
+        # reaches it — as int32 its one-hot path would be loop-invariant
+        # and LICM'd out of the timing scan (in the real graph it is the
+        # scan carry and changes every window)
+        committed_f = jnp.full((l_pad + 1, h4, w4), -1.0, jnp.float32)
         labels = jax.random.randint(jax.random.PRNGKey(5),
                                     (t_win, h4, w4), -1, 40)
         ov = jnp.asarray([1.0] * overlap + [0.0] * s_new)[:, None, None]
         win_frames = jnp.arange(t_win, dtype=jnp.int32)
         labels_f = labels.astype(jnp.float32)
 
-        def intersect(committed, labels_f):
+        def intersect(committed_f, labels_f):
+            committed = committed_f.astype(jnp.int32)
             labels_i = labels_f.astype(jnp.int32)
             existing = committed[win_frames]
             a = jnp.where(ov > 0.5, existing, -7).reshape(-1)
@@ -203,7 +208,8 @@ def main():
             com = committed.at[win_frames].set(labels_i)
             return inter, jnp.sum(oh1, 1), jnp.sum(oh2, 1), com
 
-        inter_s = time_ingraph(intersect, (committed, labels_f), r1=40, r2=200)
+        inter_s = time_ingraph(intersect, (committed_f, labels_f),
+                               r1=40, r2=200)
 
         # ---- schedule counts & ledger ----
         counts = {
@@ -223,7 +229,7 @@ def main():
         # measured fused pipeline on-chip time at the same workload
         from bench import bench_e2e  # reuse the driver bench's fused runner
 
-        _, _, device_fps = bench_e2e(cfg, variables, dtype=dtype)
+        _, _, device_fps = bench_e2e(cfg, variables, dtype=dtype, wall=False)
         measured_s = l_total / device_fps
 
         # algorithmic floor: every frame's backbone+heads computed ONCE
