@@ -80,6 +80,9 @@ class InferenceEngine:
         path used with --resize_embeddings, ``inference_model.py:56-62``)."""
         self.cfg = cfg
         self.semseg_resize_scale = semseg_resize_scale
+        # compute dtype (None -> fp32); the fused pipeline sizes its feature
+        # rings with this so bf16 mode doesn't pay fp32 ring traffic
+        self.dtype = dtype
         m = cfg.model
         self.params = variables["params"]
         self.constants = variables["constants"]
@@ -300,8 +303,11 @@ class InferenceEngine:
         ring_size = 2 * t_win  # holds every live frame for overlap <= T-1
         scales = (4, 8, 16, 32)
         c = self.cfg.model.resnets.backbone_out_channels
-        rings = tuple(jnp.zeros((ring_size, ph // s, pw // s, c), jnp.float32)
-                      for s in scales)
+        # engine compute dtype (bf16 rings are bit-identical: the heads cast
+        # their inputs to the compute dtype anyway) — see fused_pipeline
+        rings = tuple(
+            jnp.zeros((ring_size, ph // s, pw // s, c),
+                      self.dtype or jnp.float32) for s in scales)
 
         in_ring: Dict[int, int] = {}  # frame id -> ring row
         free_rows = list(range(ring_size))

@@ -255,7 +255,12 @@ class FusedSequencePipeline:
 
         scales = (4, 8, 16, 32)
         c = eng.cfg.model.resnets.backbone_out_channels
-        rings = tuple(jnp.zeros((ring_rows, ph // s, pw // s, c), jnp.float32)
+        # rings hold backbone features in the ENGINE's compute dtype: under
+        # --bf16 the features are bf16 already and the heads re-cast their
+        # inputs to bf16, so a bf16 ring is bit-identical to the fp32 one
+        # while halving the ring store+gather HBM traffic per window
+        ring_dtype = eng.dtype or jnp.float32
+        rings = tuple(jnp.zeros((ring_rows, ph // s, pw // s, c), ring_dtype)
                       for s in scales)
 
         # ---------- prelude: window 0's T frames ----------
