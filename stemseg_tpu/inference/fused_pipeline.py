@@ -291,46 +291,60 @@ class FusedSequencePipeline:
         h4, w4 = ph // 4, pw // 4
 
         def scan_a(carry, x):
+            # CARRY-ALIASING INVARIANT: the ring buffers (and acc/cnt) must
+            # never pass THROUGH a lax.cond — a conditional's carried
+            # operands are copied in both branches (XLA copy insertion
+            # cannot alias a buffer that two branch computations may write),
+            # which at production scale is ~600 MB of ring copies per
+            # window. Conds here carry only freshly-computed per-window
+            # values; every update to a carried buffer is an unconditional
+            # scatter whose row targets are redirected to trash rows by the
+            # schedule when the window is padded / has no new frames.
             rings, acc, cnt = carry
 
-            def real(args):
-                rings, acc, cnt = args
+            def with_new(_):
+                batch = frames[x["new_ids"]]
+                feats = eng._backbone_features(batch, resize_hw,
+                                               variables=variables)
+                return tuple(f.astype(r.dtype)
+                             for f, r in zip(feats, rings))
 
-                def with_new(rings):
-                    batch = frames[x["new_ids"]]
-                    feats = eng._backbone_features(batch, resize_hw,
-                                                   variables=variables)
-                    return tuple(
-                        r.at[x["write_rows"]].set(f.astype(r.dtype))
-                        for r, f in zip(rings, feats))
+            def no_new(_):
+                # window 0 (prelude did its frames) and padded windows:
+                # zero features, written to trash rows below
+                return tuple(
+                    jnp.zeros((x["new_ids"].shape[0],) + r.shape[1:],
+                              r.dtype) for r in rings)
 
-                # window 0 computes no new frames (the prelude filled its
-                # rows) — skip its s_new dummy backbone invocations
-                rings = jax.lax.cond(x["has_new"], with_new,
-                                     lambda rings: rings, rings)
+            feats = jax.lax.cond(x["has_new"], with_new, no_new, None)
+            rings = tuple(r.at[x["write_rows"]].set(f)
+                          for r, f in zip(rings, feats))
+
+            def real(_):
                 window = tuple(r[x["gather_rows"]] for r in rings)
                 coarsest_first = [f[None] for f in window[::-1]]
                 emb, bw, seed, semseg = eng._heads_from_features(
                     coarsest_first, variables=variables)
                 wmap = semseg if eng.semseg_head is not None else seed
-                acc = acc.at[x["scatter_tgt"]].add(wmap.astype(jnp.float32))
-                cnt = cnt.at[x["scatter_tgt"]].add(1.0)
                 # fp32 regardless of engine dtype: clustering/averaging stay
                 # fp32 under --bf16, and the skip branch emits fp32 zeros
-                return (rings, acc, cnt), (emb.astype(jnp.float32),
-                                           bw.astype(jnp.float32),
-                                           seed.astype(jnp.float32))
+                return (emb.astype(jnp.float32), bw.astype(jnp.float32),
+                        seed.astype(jnp.float32), wmap.astype(jnp.float32))
 
-            def skip(args):
-                rings, acc, cnt = args
+            def skip(_):
                 z = lambda shape: jnp.zeros(shape, jnp.float32)
-                return (rings, acc, cnt), (z((t_win, h4, w4, e_dim)),
-                                           z((t_win, h4, w4, v_dim)),
-                                           z((t_win, h4, w4)))
+                return (z((t_win, h4, w4, e_dim)),
+                        z((t_win, h4, w4, v_dim)),
+                        z((t_win, h4, w4)),
+                        z((t_win,) + acc.shape[1:]))
 
-            (rings, acc, cnt), ys = jax.lax.cond(
-                x["is_real"], real, skip, (rings, acc, cnt))
-            return (rings, acc, cnt), ys
+            emb, bw, seed, wmap = jax.lax.cond(x["is_real"], real, skip,
+                                               None)
+            # padded windows scatter zeros into the l_pad trash row (the
+            # schedule's scatter_tgt) — never read back
+            acc = acc.at[x["scatter_tgt"]].add(wmap)
+            cnt = cnt.at[x["scatter_tgt"]].add(1.0)
+            return (rings, acc, cnt), (emb, bw, seed)
 
         (_, acc, cnt), (embs, bws, seeds) = jax.lax.scan(
             scan_a, (rings, acc0, cnt0), jax.tree.map(jnp.asarray, xs))
