@@ -365,7 +365,13 @@ class FusedSequencePipeline:
         band_iota = jnp.arange(band, dtype=jnp.int32)
 
         def scan_b(committed, x):
-            def real(committed):
+            # same carry-aliasing invariant as scan A: ``committed`` never
+            # passes THROUGH the cond (each branch would copy the whole
+            # volume — 107 MB/window on the full-scale path); the cond
+            # returns this window's labels and the commit is an
+            # unconditional scatter into the schedule's commit_tgt rows
+            # (the l_pad trash row for padded windows, never read back)
+            def real(_):
                 emb = embs[x["i"]]
                 bw = bws[x["i"]]
                 seed = seeds[x["i"]]
@@ -396,21 +402,23 @@ class FusedSequencePipeline:
                 n1 = jnp.sum(oh1, axis=1)
                 n2 = jnp.sum(oh2, axis=1)
 
-                committed = committed.at[x["commit_tgt"]].set(labels)
-                return committed, (inter, n1, n2, res.centers, res.bandwidths,
-                                   res.valid, res.seed_probs)
+                return labels, (inter, n1, n2, res.centers, res.bandwidths,
+                                res.valid, res.seed_probs)
 
-            def skip(committed):
+            def skip(_):
                 e_full = self.engine.embedding_size
-                return committed, (jnp.zeros((band, k), jnp.float32),
-                                   jnp.zeros((band,), jnp.float32),
-                                   jnp.zeros((k,), jnp.float32),
-                                   jnp.zeros((k, e_full), jnp.float32),
-                                   jnp.zeros((k, e_full), jnp.float32),
-                                   jnp.zeros((k,), bool),
-                                   jnp.zeros((k,), jnp.float32))
+                return (jnp.full((t_win, h_c, w_c), -1, jnp.int32),
+                        (jnp.zeros((band, k), jnp.float32),
+                         jnp.zeros((band,), jnp.float32),
+                         jnp.zeros((k,), jnp.float32),
+                         jnp.zeros((k, e_full), jnp.float32),
+                         jnp.zeros((k, e_full), jnp.float32),
+                         jnp.zeros((k,), bool),
+                         jnp.zeros((k,), jnp.float32)))
 
-            return jax.lax.cond(x["is_real"], real, skip, committed)
+            labels, ys = jax.lax.cond(x["is_real"], real, skip, None)
+            committed = committed.at[x["commit_tgt"]].set(labels)
+            return committed, ys
 
         xs_b = {key: jnp.asarray(xs[key]) for key in
                 ("win_frames", "overlap_msk", "commit_tgt", "is_real",
