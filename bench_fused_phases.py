@@ -60,7 +60,9 @@ def time_ingraph(fn, args, r1=6, r2=30):
                 # hoists it out of the scan, yielding impossibly fast times
                 pl = list(leaves)
                 for i in float_idx:
-                    pl[i] = pl[i] * (1.0 + 1e-30 * c)
+                    # cast back: bf16 * f32-carry promotes to f32, which
+                    # would silently measure the phase on f32 inputs
+                    pl[i] = (pl[i] * (1.0 + 1e-30 * c)).astype(pl[i].dtype)
                 out = fn(*jax.tree.unflatten(treedef, pl))
                 s = jnp.float32(0.0)
                 for leaf in jax.tree.leaves(out):

@@ -43,23 +43,9 @@ bench_train_phases.py``.
 import json
 import time
 
-import numpy as np
-
-# nominal bf16 matmul peaks (TFLOP/s) by device kind — same table/convention
-# as bench.py
-_PEAK_TFLOPS = {
-    "TPU v5 lite": 197.0,
-    "TPU v5e": 197.0,
-    "TPU v5p": 459.0,
-    "TPU v4": 275.0,
-    "TPU v6 lite": 918.0,
-}
-
-
-def _sync(x):
-    import jax
-
-    np.asarray(jax.tree.leaves(x)[0].ravel()[:1])
+# single source of truth for the per-device peak table and the tunnel-safe
+# tiny-slice sync (CLAUDE.md: block_until_ready doesn't sync through axon)
+from bench import _PEAK_TFLOPS, sync_tiny as _sync
 
 
 def _time_compiled(compiled, args, iters=6):

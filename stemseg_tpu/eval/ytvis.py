@@ -145,10 +145,6 @@ def evaluate_ytvis(gt_tracks: List[Dict], pred_tracks: List[Dict]
     categories = sorted({g["category"] for g in gt_tracks})
     videos = sorted({g["video"] for g in gt_tracks}
                     | {p["video"] for p in pred_tracks})
-    for g in gt_tracks:
-        g["_area"] = _avg_area(g["masks"])
-    for p in pred_tracks:
-        p["_area"] = _avg_area(p["masks"])
 
     n_thr = len(IOU_THRESHOLDS)
     # ap[range][cat, thr]; rec[maxdet][cat, thr] (area range "all")
@@ -157,7 +153,7 @@ def evaluate_ytvis(gt_tracks: List[Dict], pred_tracks: List[Dict]
     rec = {md: np.full((len(categories), n_thr), np.nan) for md in (1, 10)}
 
     for ci, cat in enumerate(categories):
-        # per-video pre-sorted dts and the IoU matrices, computed once
+        # per-video pre-sorted dts, IoU matrices and avg areas, computed once
         per_video = []
         for vid in videos:
             gts = [g for g in gt_tracks
@@ -169,38 +165,39 @@ def evaluate_ytvis(gt_tracks: List[Dict], pred_tracks: List[Dict]
             for di, d in enumerate(dts):
                 for gi, g in enumerate(gts):
                     iou[di, gi] = st_mask_iou(d["masks"], g["masks"])
-            per_video.append((gts, dts, iou))
+            g_areas = np.asarray([_avg_area(g["masks"]) for g in gts])
+            d_areas = np.asarray([_avg_area(d["masks"]) for d in dts])
+            d_scores = np.asarray([d.get("score", 0.0) for d in dts])
+            per_video.append((iou, g_areas, d_areas, d_scores))
 
         for rng_name, rng in AREA_RANGES.items():
             max_dets = (100,) if rng_name != "all" else (100, 10, 1)
-            for md in max_dets:
-                for ti, thr in enumerate(IOU_THRESHOLDS):
-                    scores_all, tp_all, ig_all = [], [], []
-                    n_gt = 0
-                    for gts, dts, iou in per_video:
-                        g_ig = np.asarray(
-                            [g["_area"] < rng[0] or g["_area"] > rng[1]
-                             for g in gts], bool)
-                        # COCO sorts gts ignore-last before matching
-                        g_order = np.argsort(g_ig, kind="stable")
-                        d_keep = slice(0, md)
-                        d_areas = np.asarray(
-                            [d["_area"] for d in dts[d_keep]])
-                        tp, ig = _match_video(
-                            iou[d_keep][:, g_order], g_ig[g_order],
-                            d_areas, rng, float(thr))
-                        scores_all.append(np.asarray(
-                            [d.get("score", 0.0) for d in dts[d_keep]]))
-                        tp_all.append(tp)
-                        ig_all.append(ig)
-                        n_gt += int((~g_ig).sum())
+            md0 = max(max_dets)
+            for ti, thr in enumerate(IOU_THRESHOLDS):
+                # Match once per video at the LARGEST maxDets: greedy
+                # matching processes dts in score order, so a smaller
+                # maxDets result is exactly a row-prefix of this one —
+                # COCOeval likewise matches at maxDets[-1] and slices
+                # per-maxDets in accumulate().
+                vids_res = []
+                n_gt = 0
+                for iou, g_areas, d_areas, d_scores in per_video:
+                    g_ig = (g_areas < rng[0]) | (g_areas > rng[1])
+                    # COCO sorts gts ignore-last before matching
+                    g_order = np.argsort(g_ig, kind="stable")
+                    tp, ig = _match_video(
+                        iou[:md0][:, g_order], g_ig[g_order],
+                        d_areas[:md0], rng, float(thr))
+                    vids_res.append((d_scores[:md0], tp, ig))
+                    n_gt += int((~g_ig).sum())
+                for md in max_dets:
                     ap_v, rec_v = _pr_curves(
-                        np.concatenate(scores_all) if scores_all
-                        else np.zeros(0),
-                        np.concatenate(tp_all) if tp_all
-                        else np.zeros(0, bool),
-                        np.concatenate(ig_all) if ig_all
-                        else np.zeros(0, bool),
+                        np.concatenate([s[:md] for s, _, _ in vids_res])
+                        if vids_res else np.zeros(0),
+                        np.concatenate([t[:md] for _, t, _ in vids_res])
+                        if vids_res else np.zeros(0, bool),
+                        np.concatenate([i[:md] for _, _, i in vids_res])
+                        if vids_res else np.zeros(0, bool),
                         n_gt)
                     if md == 100:
                         ap[rng_name][ci, ti] = ap_v
