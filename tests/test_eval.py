@@ -272,6 +272,33 @@ def test_ytvis_coco_tie_break_last_gt_wins():
     np.testing.assert_allclose(res["AR10"], 0.5)
 
 
+def test_ytvis_no_input_mutation_and_maxdets_prefix():
+    """evaluate_ytvis must not write into the caller's track dicts, and
+    AR@k must equal a run where each video's predictions are pre-truncated
+    to its k highest-scored (greedy matching is prefix-stable, COCOeval's
+    accumulate-time maxDets slicing)."""
+    rng = np.random.RandomState(7)
+    gt, preds = [], []
+    for vid in ("a", "b"):
+        for k in range(2):
+            msk = [rng.rand(24, 24) > 0.5 for _ in range(3)]
+            gt.append({"video": vid, "category": 1, "masks": msk})
+            preds.append({"video": vid, "category": 1,
+                          "score": 0.9 - 0.2 * k, "masks": msk})
+        # low-scored FP in each video
+        preds.append({"video": vid, "category": 1, "score": 0.1,
+                      "masks": [rng.rand(24, 24) > 0.5 for _ in range(3)]})
+    res = evaluate_ytvis(gt, preds)
+    assert all(set(g) == {"video", "category", "masks"} for g in gt)
+    assert all(set(p) == {"video", "category", "masks", "score"}
+               for p in preds)
+
+    top1 = [max((p for p in preds if p["video"] == vid),
+                key=lambda p: p["score"]) for vid in ("a", "b")]
+    res_top1 = evaluate_ytvis(gt, top1)
+    np.testing.assert_allclose(res["AR1"], res_top1["AR10"])
+
+
 def test_ytvis_results_json_loader(tmp_path):
     import json
 
