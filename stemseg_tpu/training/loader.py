@@ -101,3 +101,24 @@ class PrefetchLoader:
             # down inside native code aborts the process at interpreter exit)
             for t in threads:
                 t.join(timeout=30.0)
+
+
+def device_prefetch(iterator, place):
+    """One-deep device prefetch (the ``prefetch_to_device`` pattern).
+
+    ``place`` dispatches a host batch's H2D transfer and returns device
+    arrays; JAX transfers are asynchronous, so placing batch ``n+1``
+    immediately after yielding batch ``n`` overlaps its H2D with step
+    ``n``'s on-device compute instead of serializing transfer → step.
+    The reference's DataLoader has no analogue (CUDA implicitly overlaps
+    via ``pin_memory``/streams); on TPU this explicit stagger is the
+    idiomatic equivalent.
+    """
+    prev = None
+    for host_batch in iterator:
+        cur = place(host_batch)
+        if prev is not None:
+            yield prev
+        prev = cur
+    if prev is not None:
+        yield prev

@@ -168,9 +168,18 @@ class Trainer:
 
         from stemseg_tpu.parallel import shard_batch
         from stemseg_tpu.training.interrupt import InterruptException
+        from stemseg_tpu.training.loader import device_prefetch
 
         self.interrupt.start()
         loader = self.make_loader(self.args.num_cpu_workers)
+
+        def place(batch):
+            device_batch = {k: jnp.asarray(v) for k, v in batch.items()
+                            if k in ("images", "masks", "ignore_masks",
+                                     "category_ids")}
+            if self.mesh is not None:
+                device_batch = shard_batch(device_batch, self.mesh)
+            return device_batch
 
         print(f"Commencing/resuming training from iteration {self.elapsed_iterations + 1}")
         last_time = time.time()
@@ -184,16 +193,12 @@ class Trainer:
         profile_started = profile_stopped = profile_dir is None
 
         try:
-            for batch in loader:
+            # one-deep device prefetch: batch n+1's H2D overlaps step n
+            for device_batch in device_prefetch(iter(loader), place):
                 if not profile_started and sub_iter >= self.accumulate_steps:
                     jax.profiler.start_trace(profile_dir)
                     profile_started = True
                     profile_until = self.elapsed_iterations + profile_steps
-
-                device_batch = {k: jnp.asarray(v) for k, v in batch.items()
-                                if k in ("images", "masks", "ignore_masks", "category_ids")}
-                if self.mesh is not None:
-                    device_batch = shard_batch(device_batch, self.mesh)
 
                 self.state, metrics = self.step_fn(self.state, device_batch)
                 sub_iter += 1

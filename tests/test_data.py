@@ -368,3 +368,32 @@ def test_mapillary_30_instances_not_dropped():
     assert resolve_max_instances(cfg2) == 12
     # non-kitti modes auto to 16
     assert resolve_max_instances(load_config({"training": {"mode": "davis"}})) == 16
+
+
+def test_device_prefetch_stagger_and_order():
+    """device_prefetch yields every batch in order and places batch n+1
+    BEFORE yielding batch n (the H2D-overlap contract)."""
+    from stemseg_tpu.training.loader import device_prefetch
+
+    events = []
+
+    def place(x):
+        events.append(("place", x))
+        return x * 10
+
+    def consume():
+        for y in device_prefetch(iter(range(4)), place):
+            events.append(("yield", y))
+
+    consume()
+    assert [e for e in events if e[0] == "yield"] == [
+        ("yield", 0), ("yield", 10), ("yield", 20), ("yield", 30)]
+    # batch n+1 is placed before batch n is yielded, for every n
+    for n in range(3):
+        assert events.index(("place", n + 1)) < events.index(("yield", n * 10))
+
+    # empty iterator yields nothing
+    assert list(device_prefetch(iter(()), place)) == []
+
+    # single batch passes through
+    assert list(device_prefetch(iter([7]), place)) == [70]
