@@ -246,6 +246,8 @@ def bench_train(preset, mixed_precision=False, remat=False, n_instances=8):
 
 
 def main():
+    import sys
+
     import jax
 
     from stemseg_tpu.config import default_config
@@ -259,16 +261,55 @@ def main():
 
     import jax.numpy as jnp
 
+    # the headline metric fails loudly; every later stage degrades to null —
+    # the axon tunnel can drop mid-run and the driver must still capture the
+    # stages that completed (exactly one JSON line either way)
     clips_fp32, mfu_fp32 = bench_forward(cfg, variables, model, "fp32")
-    clips_bf16, mfu_bf16 = bench_forward(cfg, variables, model, "bf16")
-    e2e_fps, e2e_fps_median, e2e_device_fps = bench_e2e(cfg, variables)
-    _, _, e2e_device_fps_bf16 = bench_e2e(cfg, variables, dtype=jnp.bfloat16)
-    h2d_mbps = bench_h2d()
 
-    train_ms, train_sps, train_mfu = bench_train("davis_1")
-    train_ms_bf16, _, train_mfu_bf16 = bench_train("davis_1",
-                                                  mixed_precision=True)
-    train_ms_d2, _, _ = bench_train("davis_2", remat=True)
+    print("bench: forward fp32 done", file=sys.stderr, flush=True)
+
+    # soft deadline: the axon tunnel's first-compile + bulk-transfer latency
+    # varies by >10x session to session; past the budget the remaining
+    # stages are skipped (fields null) so the driver ALWAYS captures the
+    # JSON line with whatever completed. Override with BENCH_DEADLINE_S.
+    import os
+    deadline = time.monotonic() + float(os.environ.get("BENCH_DEADLINE_S",
+                                                       "2700"))
+
+    def stage(fn, n_out=1, name=""):
+        if time.monotonic() > deadline:
+            print(f"bench: {name} skipped (deadline)", file=sys.stderr,
+                  flush=True)
+            return (None,) * n_out if n_out > 1 else None
+        try:
+            out = fn()
+            print(f"bench: {name} done", file=sys.stderr, flush=True)
+            return out
+        except Exception as exc:  # tunnel hiccup: keep what we have
+            print(f"bench stage {name} failed: {exc!r}", file=sys.stderr,
+                  flush=True)
+            return (None,) * n_out if n_out > 1 else None
+
+    clips_bf16, mfu_bf16 = stage(
+        lambda: bench_forward(cfg, variables, model, "bf16"), 2,
+        name="forward bf16")
+    e2e_fps, e2e_fps_median, e2e_device_fps = stage(
+        lambda: bench_e2e(cfg, variables), 3, name="e2e fp32")
+    _, _, e2e_device_fps_bf16 = stage(
+        lambda: bench_e2e(cfg, variables, dtype=jnp.bfloat16), 3,
+        name="e2e bf16")
+    h2d_mbps = stage(bench_h2d, name="h2d")
+
+    train_ms, train_sps, train_mfu = stage(
+        lambda: bench_train("davis_1"), 3, name="train davis_1 fp32")
+    train_ms_bf16, _, train_mfu_bf16 = stage(
+        lambda: bench_train("davis_1", mixed_precision=True), 3,
+        name="train davis_1 bf16")
+    train_ms_d2, _, _ = stage(
+        lambda: bench_train("davis_2", remat=True), 3, name="train davis_2")
+
+    def r(x, nd):
+        return round(x, nd) if x is not None else None
 
     print(json.dumps({
         "metric": "480p_8frame_clips_per_sec_per_chip",
@@ -276,20 +317,20 @@ def main():
         "unit": "clips/s",
         "vs_baseline": None,
         "forward_frames_per_sec": round(clips_fp32 * 8, 2),
-        "forward_clips_per_sec_bf16": round(clips_bf16, 4),
-        "forward_mfu_fp32": round(mfu_fp32, 4) if mfu_fp32 else None,
-        "forward_mfu_bf16": round(mfu_bf16, 4) if mfu_bf16 else None,
-        "e2e_pipeline_fps": round(e2e_fps, 2),
-        "e2e_pipeline_fps_median": round(e2e_fps_median, 2),
-        "e2e_device_fps": round(e2e_device_fps, 2),
-        "e2e_device_fps_bf16": round(e2e_device_fps_bf16, 2),
-        "tunnel_h2d_mbps": round(h2d_mbps, 1),
-        "train_step_ms_davis1_fp32": round(train_ms, 1),
-        "train_step_ms_davis1_bf16": round(train_ms_bf16, 1),
-        "train_step_ms_davis2_remat": round(train_ms_d2, 1),
-        "train_samples_per_sec_davis1": round(train_sps, 3),
-        "train_mfu_davis1_fp32": round(train_mfu, 4) if train_mfu else None,
-        "train_mfu_davis1_bf16": round(train_mfu_bf16, 4) if train_mfu_bf16 else None,
+        "forward_clips_per_sec_bf16": r(clips_bf16, 4),
+        "forward_mfu_fp32": r(mfu_fp32, 4),
+        "forward_mfu_bf16": r(mfu_bf16, 4),
+        "e2e_pipeline_fps": r(e2e_fps, 2),
+        "e2e_pipeline_fps_median": r(e2e_fps_median, 2),
+        "e2e_device_fps": r(e2e_device_fps, 2),
+        "e2e_device_fps_bf16": r(e2e_device_fps_bf16, 2),
+        "tunnel_h2d_mbps": r(h2d_mbps, 1),
+        "train_step_ms_davis1_fp32": r(train_ms, 1),
+        "train_step_ms_davis1_bf16": r(train_ms_bf16, 1),
+        "train_step_ms_davis2_remat": r(train_ms_d2, 1),
+        "train_samples_per_sec_davis1": r(train_sps, 3),
+        "train_mfu_davis1_fp32": r(train_mfu, 4),
+        "train_mfu_davis1_bf16": r(train_mfu_bf16, 4),
     }))
 
 
