@@ -14,7 +14,7 @@ I/O excluded):
   ``e2e_device_fps`` ships the frames to HBM first and keeps outputs on
   device — the on-chip number, independent of the axon tunnel's highly
   variable bulk bandwidth (measured 8-116 MB/s run-to-run); the wall number
-  includes those transfers (best + median of 5).
+  includes those transfers (best + median of 3).
 
 * ``train_step_ms_*`` — one optimizer iteration of the jitted train step at
   the production geometry [1, T, 736, 1248] (davis_1 fp32 + mixed
@@ -24,13 +24,31 @@ I/O excluded):
 * ``tunnel_h2d_mbps`` — measured bulk host->device bandwidth, printed so
   wall-clock e2e regressions are attributable to the rig vs the code.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Output contract: the CUMULATIVE JSON line is re-printed after EVERY stage
+(pending fields null) — the driver takes the LAST parseable line, so a kill
+at any point still captures everything that completed. Round 3 lost its
+entire perf record because the line printed exactly once at the very end
+and the driver's budget expired during the final stage's compile.
+
 ``vs_baseline`` is vs the reference's V100 fps — unpublished (BASELINE.md),
 so null until a reference measurement exists.
+
+Failure semantics (per advisor round 3): a stage that raises logs its FULL
+traceback to stderr and nulls its fields; a stage that HANGS past the
+deadline is abandoned via a watchdog thread (the stuck thread keeps the
+device, so all later stages are skipped and the process exits via
+os._exit with the JSON already printed). Failed/abandoned stage names are
+recorded in the JSON's ``failed_stages`` so driver logs distinguish code
+bugs from tunnel drops; exit code stays 0 whenever the headline metric
+exists so the driver parses the line.
 """
 
 import json
+import os
+import sys
+import threading
 import time
+import traceback
 
 import numpy as np
 
@@ -42,6 +60,25 @@ _PEAK_TFLOPS = {
     "TPU v4": 275.0,
     "TPU v6 lite": 918.0,
 }
+
+
+def _enable_compile_cache():
+    """Persistent compilation cache: the full bench compiles 8 programs and
+    first-compile latency dominated round 3's overrun. Cache everything,
+    including tiny/fast entries. Harmless no-op if the backend doesn't
+    support executable serialization (axon may not)."""
+    import jax
+
+    cache_dir = os.environ.get(
+        "JAX_COMPILATION_CACHE_DIR",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"))
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    except Exception as exc:
+        print(f"bench: compile cache unavailable: {exc!r}", file=sys.stderr,
+              flush=True)
 
 
 def sync_tiny(x):
@@ -95,7 +132,7 @@ def bench_forward(cfg, variables, model, dtype_name="fp32"):
 
 def bench_e2e(cfg, variables, dtype=None, wall=True):
     """Fused one-jit pipeline (the CLI path): whole sequence -> labels in
-    <=3 host round-trips. Wall fps (best AND median of 5 — tunnel transfer
+    <=3 host round-trips. Wall fps (best AND median of 3 — tunnel transfer
     bandwidth varies 10x run to run) plus the on-chip number with frames
     pre-staged in HBM and outputs left on device. ``dtype=bfloat16``
     measures the CLI's ``--bf16`` path (device fps only, skip wall);
@@ -132,7 +169,7 @@ def bench_e2e(cfg, variables, dtype=None, wall=True):
 
         run_wall()  # warmup / compile
         times = []
-        for _ in range(5):
+        for _ in range(3):
             start = time.perf_counter()
             run_wall()
             times.append(time.perf_counter() - start)
@@ -225,7 +262,7 @@ def bench_train(preset, mixed_precision=False, remat=False, n_instances=8):
     state, metrics = compiled(state, batch)
     sync_tiny(metrics["total"])
 
-    iters = 5
+    iters = 3
     start = time.perf_counter()
     for _ in range(iters):
         state, metrics = compiled(state, batch)
@@ -246,13 +283,14 @@ def bench_train(preset, mixed_precision=False, remat=False, n_instances=8):
 
 
 def main():
-    import sys
-
     import jax
+
+    _enable_compile_cache()
 
     from stemseg_tpu.config import default_config
     from stemseg_tpu.models import build_model
 
+    t_bench_start = time.monotonic()
     cfg = default_config()
     model = build_model(cfg, for_training=False)
     variables = model.init(jax.random.PRNGKey(0),
@@ -261,77 +299,155 @@ def main():
 
     import jax.numpy as jnp
 
-    # the headline metric fails loudly; every later stage degrades to null —
-    # the axon tunnel can drop mid-run and the driver must still capture the
-    # stages that completed (exactly one JSON line either way)
-    clips_fp32, mfu_fp32 = bench_forward(cfg, variables, model, "fp32")
-
-    print("bench: forward fp32 done", file=sys.stderr, flush=True)
-
-    # soft deadline: the axon tunnel's first-compile + bulk-transfer latency
-    # varies by >10x session to session; past the budget the remaining
-    # stages are skipped (fields null) so the driver ALWAYS captures the
-    # JSON line with whatever completed. Override with BENCH_DEADLINE_S.
-    import os
+    # Soft deadline: past it, remaining stages are skipped (fields stay
+    # null). Round-3 evidence puts the driver's budget below 2700 s, so the
+    # default is 15 min. Override with BENCH_DEADLINE_S.
     deadline = time.monotonic() + float(os.environ.get("BENCH_DEADLINE_S",
-                                                       "2700"))
-
-    def stage(fn, n_out=1, name=""):
-        if time.monotonic() > deadline:
-            print(f"bench: {name} skipped (deadline)", file=sys.stderr,
-                  flush=True)
-            return (None,) * n_out if n_out > 1 else None
-        try:
-            out = fn()
-            print(f"bench: {name} done", file=sys.stderr, flush=True)
-            return out
-        except Exception as exc:  # tunnel hiccup: keep what we have
-            print(f"bench stage {name} failed: {exc!r}", file=sys.stderr,
-                  flush=True)
-            return (None,) * n_out if n_out > 1 else None
-
-    clips_bf16, mfu_bf16 = stage(
-        lambda: bench_forward(cfg, variables, model, "bf16"), 2,
-        name="forward bf16")
-    e2e_fps, e2e_fps_median, e2e_device_fps = stage(
-        lambda: bench_e2e(cfg, variables), 3, name="e2e fp32")
-    _, _, e2e_device_fps_bf16 = stage(
-        lambda: bench_e2e(cfg, variables, dtype=jnp.bfloat16), 3,
-        name="e2e bf16")
-    h2d_mbps = stage(bench_h2d, name="h2d")
-
-    train_ms, train_sps, train_mfu = stage(
-        lambda: bench_train("davis_1"), 3, name="train davis_1 fp32")
-    train_ms_bf16, _, train_mfu_bf16 = stage(
-        lambda: bench_train("davis_1", mixed_precision=True), 3,
-        name="train davis_1 bf16")
-    train_ms_d2, _, _ = stage(
-        lambda: bench_train("davis_2", remat=True), 3, name="train davis_2")
+                                                       "900"))
 
     def r(x, nd):
         return round(x, nd) if x is not None else None
 
-    print(json.dumps({
+    # cumulative output — re-emitted after every stage (latest line wins)
+    out = {
         "metric": "480p_8frame_clips_per_sec_per_chip",
-        "value": round(clips_fp32, 4),
+        "value": None,
         "unit": "clips/s",
         "vs_baseline": None,
-        "forward_frames_per_sec": round(clips_fp32 * 8, 2),
-        "forward_clips_per_sec_bf16": r(clips_bf16, 4),
-        "forward_mfu_fp32": r(mfu_fp32, 4),
-        "forward_mfu_bf16": r(mfu_bf16, 4),
-        "e2e_pipeline_fps": r(e2e_fps, 2),
-        "e2e_pipeline_fps_median": r(e2e_fps_median, 2),
-        "e2e_device_fps": r(e2e_device_fps, 2),
-        "e2e_device_fps_bf16": r(e2e_device_fps_bf16, 2),
-        "tunnel_h2d_mbps": r(h2d_mbps, 1),
-        "train_step_ms_davis1_fp32": r(train_ms, 1),
-        "train_step_ms_davis1_bf16": r(train_ms_bf16, 1),
-        "train_step_ms_davis2_remat": r(train_ms_d2, 1),
-        "train_samples_per_sec_davis1": r(train_sps, 3),
-        "train_mfu_davis1_fp32": r(train_mfu, 4),
-        "train_mfu_davis1_bf16": r(train_mfu_bf16, 4),
-    }))
+        "forward_frames_per_sec": None,
+        "forward_clips_per_sec_bf16": None,
+        "forward_mfu_fp32": None,
+        "forward_mfu_bf16": None,
+        "e2e_pipeline_fps": None,
+        "e2e_pipeline_fps_median": None,
+        "e2e_device_fps": None,
+        "e2e_device_fps_bf16": None,
+        "tunnel_h2d_mbps": None,
+        "train_step_ms_davis1_fp32": None,
+        "train_step_ms_davis1_bf16": None,
+        "train_step_ms_davis2_remat": None,
+        "train_samples_per_sec_davis1": None,
+        "train_mfu_davis1_fp32": None,
+        "train_mfu_davis1_bf16": None,
+        "failed_stages": [],
+    }
+
+    def emit():
+        print(json.dumps(out), flush=True)
+
+    state = {"abandoned": False}
+
+    def stage(fn, n_out=1, name=""):
+        """Run one bench stage under a watchdog thread. Three outcomes:
+        (a) completes -> result; (b) raises -> full traceback to stderr,
+        nulls; (c) still running at the deadline -> ABANDONED: the stuck
+        thread keeps the device busy, so every later stage is skipped and
+        main() exits via os._exit once the JSON is out."""
+        nulls = (None,) * n_out if n_out > 1 else None
+        now = time.monotonic()
+        if state["abandoned"] or now > deadline:
+            print(f"bench: {name} skipped (deadline)", file=sys.stderr,
+                  flush=True)
+            out["failed_stages"].append(f"{name}:skipped")
+            return nulls
+        box = {}
+
+        def run():
+            try:
+                box["out"] = fn()
+            except BaseException:
+                box["exc"] = traceback.format_exc()
+
+        th = threading.Thread(target=run, daemon=True, name=f"bench-{name}")
+        th.start()
+        th.join(max(1.0, deadline - now))
+        elapsed = time.monotonic() - now
+        if th.is_alive():
+            state["abandoned"] = True
+            print(f"bench: {name} ABANDONED after {elapsed:.0f}s (deadline); "
+                  "device held by stuck stage — skipping the rest",
+                  file=sys.stderr, flush=True)
+            out["failed_stages"].append(f"{name}:abandoned")
+            return nulls
+        if "exc" in box:
+            print(f"bench: {name} FAILED after {elapsed:.0f}s\n{box['exc']}",
+                  file=sys.stderr, flush=True)
+            out["failed_stages"].append(f"{name}:error")
+            return nulls
+        print(f"bench: {name} done in {elapsed:.0f}s", file=sys.stderr,
+              flush=True)
+        return box["out"]
+
+    # the headline metric also runs under the watchdog, but a null headline
+    # exits nonzero at the end (the driver must see a real `value`)
+    hl = stage(lambda: bench_forward(cfg, variables, model, "fp32"), 2,
+               name="forward fp32")
+    clips_fp32, mfu_fp32 = hl
+    if clips_fp32 is not None:
+        out["value"] = round(clips_fp32, 4)
+        out["forward_frames_per_sec"] = round(clips_fp32 * 8, 2)
+        out["forward_mfu_fp32"] = r(mfu_fp32, 4)
+    emit()
+
+    clips_bf16, mfu_bf16 = stage(
+        lambda: bench_forward(cfg, variables, model, "bf16"), 2,
+        name="forward bf16")
+    out["forward_clips_per_sec_bf16"] = r(clips_bf16, 4)
+    out["forward_mfu_bf16"] = r(mfu_bf16, 4)
+    emit()
+
+    # train stages BEFORE the e2e stages: round 3 lost the train fields to a
+    # budget overrun; forward+train together cover both headline surfaces
+    # even if the run is killed mid-way
+    train_ms, train_sps, train_mfu = stage(
+        lambda: bench_train("davis_1"), 3, name="train davis_1 fp32")
+    out["train_step_ms_davis1_fp32"] = r(train_ms, 1)
+    out["train_samples_per_sec_davis1"] = r(train_sps, 3)
+    out["train_mfu_davis1_fp32"] = r(train_mfu, 4)
+    emit()
+
+    train_ms_bf16, _, train_mfu_bf16 = stage(
+        lambda: bench_train("davis_1", mixed_precision=True), 3,
+        name="train davis_1 bf16")
+    out["train_step_ms_davis1_bf16"] = r(train_ms_bf16, 1)
+    out["train_mfu_davis1_bf16"] = r(train_mfu_bf16, 4)
+    emit()
+
+    e2e_fps, e2e_fps_median, e2e_device_fps = stage(
+        lambda: bench_e2e(cfg, variables), 3, name="e2e fp32")
+    out["e2e_pipeline_fps"] = r(e2e_fps, 2)
+    out["e2e_pipeline_fps_median"] = r(e2e_fps_median, 2)
+    out["e2e_device_fps"] = r(e2e_device_fps, 2)
+    emit()
+
+    _, _, e2e_device_fps_bf16 = stage(
+        lambda: bench_e2e(cfg, variables, dtype=jnp.bfloat16), 3,
+        name="e2e bf16")
+    out["e2e_device_fps_bf16"] = r(e2e_device_fps_bf16, 2)
+    emit()
+
+    h2d_mbps = stage(bench_h2d, name="h2d")
+    out["tunnel_h2d_mbps"] = r(h2d_mbps, 1)
+    emit()
+
+    # davis_2's 16-frame remat compile is the longest of the run (it killed
+    # round 3) — last, so an overrun costs only this one field
+    train_ms_d2, _, _ = stage(
+        lambda: bench_train("davis_2", remat=True), 3, name="train davis_2")
+    out["train_step_ms_davis2_remat"] = r(train_ms_d2, 1)
+    emit()
+
+    total = time.monotonic() - t_bench_start
+    print(f"bench: all stages finished in {total:.0f}s "
+          f"(failed: {out['failed_stages'] or 'none'})",
+          file=sys.stderr, flush=True)
+    # os._exit: an abandoned stage's thread may be stuck inside the XLA
+    # runtime; normal interpreter teardown could hang on it and eat the
+    # JSON we already printed. Nonzero only when the headline is missing.
+    rc = 0 if out["value"] is not None else 1
+    sys.stdout.flush()
+    sys.stderr.flush()
+    os._exit(rc)
 
 
 if __name__ == "__main__":

@@ -4,7 +4,15 @@ Two modes::
 
     python tests/ref_e2e_runner.py make_ckpt <model_dir> [seed]
     python tests/ref_e2e_runner.py infer <model_pth> <dataset> <out_dir> \
-        [max_tracks] [frame_overlap] [min_seediness_prob]
+        [max_tracks] [frame_overlap] [min_seediness_prob] [dump_dir]
+
+When ``dump_dir`` is given, the PRE-WRITER per-sequence state — the dense
+stitched label volume (reconstructed from the chainer's framewise coord
+lists + label vectors, ``online_chainer.py:94-117``) and the counts /
+lifetimes dicts in insertion order — is saved to ``<dump_dir>/<seq>.npz``.
+The composed-e2e test uses it to assert the label volumes agree EXACTLY
+(modulo track-id relabeling) before the writer stage, so any final-artifact
+mismatch can be pinned to the writer's resize and proven knife-edge.
 
 ``make_ckpt`` builds the reference ``TrainingModel`` on the config at
 ``<model_dir>/config.yaml`` (yacs merge, no pretrained backbone download)
@@ -81,8 +89,57 @@ def make_ckpt(model_dir, seed=0, reference_root="/root/reference"):
     print("saved", os.path.join(model_dir, "model.pth"))
 
 
+def _install_label_dump(dump_dir):
+    """Wrap ``TrackGenerator.do_clustering`` to capture the chainer's output
+    (per-frame fg coord lists + stitched label vectors + counts/lifetimes,
+    ``inference/main.py:153-176``) and save the reconstructed DENSE label
+    volume per sequence. The wrapped original still runs unmodified — the
+    writers consume exactly what they would without the dump."""
+    import numpy as np
+
+    import stemseg.inference.main as ref_main_mod
+
+    os.makedirs(dump_dir, exist_ok=True)
+    orig_dc = ref_main_mod.TrackGenerator.do_clustering
+
+    def do_clustering(self, sequence, all_embeddings, fg_masks,
+                      multiclass_masks, max_tracks):
+        orig_proc = self.chainer.process
+        box = {}
+
+        def proc(masks, subseqs, *a, **k):
+            out = orig_proc(masks, subseqs, *a, **k)
+            box["out"] = out
+            box["shape"] = tuple(masks.shape[-2:])
+            return out
+
+        self.chainer.process = proc
+        try:
+            orig_dc(self, sequence, all_embeddings, fg_masks,
+                    multiclass_masks, max_tracks)
+        finally:
+            self.chainer.process = orig_proc
+
+        (track_labels, counts, lifetimes), fw_idxes = box["out"][:2]
+        h, w = box["shape"]
+        dense = np.full((len(fw_idxes), h, w), -1, np.int64)
+        for t, ((ys, xs), lab) in enumerate(zip(fw_idxes, track_labels)):
+            dense[t, ys.cpu().numpy(), xs.cpu().numpy()] = lab.cpu().numpy()
+        np.savez(
+            os.path.join(dump_dir, f"{sequence.seq_id}.npz"),
+            labels=dense,
+            counts=np.asarray([[int(k), int(v)] for k, v in counts.items()],
+                              np.int64).reshape(-1, 2),
+            lifetimes=np.asarray([[int(k), int(v)]
+                                  for k, v in lifetimes.items()],
+                                 np.int64).reshape(-1, 2))
+
+    ref_main_mod.TrackGenerator.do_clustering = do_clustering
+
+
 def infer(model_pth, dataset, out_dir, max_tracks="5", frame_overlap="2",
-          min_seediness_prob="0.1", reference_root="/root/reference"):
+          min_seediness_prob="0.1", dump_dir="",
+          reference_root="/root/reference"):
     sys.path.insert(0, reference_root)
     _install_stubs()
 
@@ -106,6 +163,9 @@ def infer(model_pth, dataset, out_dir, max_tracks="5", frame_overlap="2",
     from argparse import Namespace
 
     from stemseg.inference.main import main as ref_main
+
+    if dump_dir:
+        _install_label_dump(dump_dir)
 
     args = Namespace(
         model_path=model_pth,
