@@ -126,7 +126,7 @@ def _install_label_dump(dump_dir):
         for t, ((ys, xs), lab) in enumerate(zip(fw_idxes, track_labels)):
             dense[t, ys.cpu().numpy(), xs.cpu().numpy()] = lab.cpu().numpy()
         np.savez(
-            os.path.join(dump_dir, f"{sequence.seq_id}.npz"),
+            os.path.join(dump_dir, f"{sequence.id}.npz"),
             labels=dense,
             counts=np.asarray([[int(k), int(v)] for k, v in counts.items()],
                               np.int64).reshape(-1, 2),

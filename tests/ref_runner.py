@@ -40,10 +40,23 @@ def main(input_npz: str, out_npz: str, variant: str = "default",
     from stemseg.utils import RepoPaths  # noqa: E402
 
     preset_files = {"default": None, "davis": "davis_1.yaml",
-                    "ytvis": "youtube_vis.yaml"}
+                    "ytvis": "youtube_vis.yaml", "x101": None}
     preset = preset_files[variant]
     if preset:
         cfg.merge_from_file(_os.path.join(RepoPaths.configs_dir(), preset))
+
+    if variant == "x101":
+        # The reference registers the X-101-FPN backbone key
+        # (backbone/__init__.py:9) but its _STAGE_SPECS table lacks it — a
+        # latent KeyError. Patch the spec in (same stage layout as R-101,
+        # maskrcnn-benchmark convention) and set the ResNeXt group widths so
+        # the grouped-conv bottlenecks are actually exercised.
+        import stemseg.modeling.backbone.resnet as ref_resnet
+
+        ref_resnet._STAGE_SPECS["X-101-FPN"] = ref_resnet.ResNet101FPNStagesTo5
+        cfg.MODEL.BACKBONE.update_param("TYPE", "X-101-FPN")
+        cfg.MODEL.RESNETS.update_param("NUM_GROUPS", 32)
+        cfg.MODEL.RESNETS.update_param("WIDTH_PER_GROUP", 8)
 
     from stemseg.modeling.model_builder import build_model  # noqa: E402
 

@@ -48,6 +48,148 @@ def test_f_identical_and_disjoint():
     np.testing.assert_allclose(db_eval_boundary(m, empty), [0.0])
 
 
+# --- official davis2017-evaluation boundary algorithm, transcribed ---------
+#
+# The official package is absent from this image; this is a LITERAL
+# transcription of ``davis2017/metrics.py::db_eval_boundary`` + ``_seg2bmap``
+# (loop-level, deliberately un-vectorized so it shares no code with the
+# implementation under test), used to cross-check our vectorized
+# ``eval/davis.py`` on adversarial masks. Notes on official quirks:
+#
+# * ``_seg2bmap`` has a downsampling branch (width/height args with a
+#   floor-index remap); ``db_eval_boundary`` always calls it WITHOUT those
+#   args, so the branch is dead in the official evaluator — our
+#   implementation intentionally omits it.
+# * radius = ``np.ceil(bound_th * np.linalg.norm(mask.shape))`` (float
+#   ceil of the image diagonal).
+# * dilation uses ``skimage.morphology.disk(radius)`` = the elementwise
+#   {y²+x² <= r²} ball; we replicate it literally and dilate with scipy
+#   (origin-centered, zero-padded borders) — our implementation uses
+#   cv2.dilate with the same element, which these tests prove equivalent
+#   including masks touching the borders.
+# * zero-boundary cases: (P, R) = (1, 0) / (0, 1) / (1, 1) for
+#   empty-pred / empty-gt / both-empty — F works out to 0 / 0 / 1, which is
+#   what our implementation returns directly.
+
+
+def _official_seg2bmap(seg):
+    seg = np.asarray(seg, bool)
+    h, w = seg.shape
+    b = np.zeros((h, w), bool)
+    for y in range(h):
+        for x in range(w):
+            p = seg[y, x]
+            e = seg[y, x + 1] if x + 1 < w else False
+            s = seg[y + 1, x] if y + 1 < h else False
+            se = seg[y + 1, x + 1] if (y + 1 < h and x + 1 < w) else False
+            if y < h - 1 and x < w - 1:
+                b[y, x] = (p ^ e) | (p ^ s) | (p ^ se)
+            elif y == h - 1 and x < w - 1:
+                b[y, x] = p ^ e
+            elif y < h - 1 and x == w - 1:
+                b[y, x] = p ^ s
+            else:  # bottom-right corner: never boundary
+                b[y, x] = False
+    return b
+
+
+def _official_db_eval_boundary(pred, gt, bound_th=0.008):
+    from scipy.ndimage import binary_dilation
+
+    bound_pix = np.ceil(bound_th * np.linalg.norm(pred.shape))
+    r = int(bound_pix)
+    yy, xx = np.ogrid[-r:r + 1, -r:r + 1]
+    disk = (xx * xx + yy * yy <= bound_pix * bound_pix)
+
+    fg_boundary = _official_seg2bmap(pred)
+    gt_boundary = _official_seg2bmap(gt)
+    fg_dil = binary_dilation(fg_boundary, disk)
+    gt_dil = binary_dilation(gt_boundary, disk)
+    gt_match = gt_boundary & fg_dil
+    fg_match = fg_boundary & gt_dil
+    n_fg = fg_boundary.sum()
+    n_gt = gt_boundary.sum()
+    if n_fg == 0 and n_gt > 0:
+        precision, recall = 1.0, 0.0
+    elif n_fg > 0 and n_gt == 0:
+        precision, recall = 0.0, 1.0
+    elif n_fg == 0 and n_gt == 0:
+        precision, recall = 1.0, 1.0
+    else:
+        precision = fg_match.sum() / float(n_fg)
+        recall = gt_match.sum() / float(n_gt)
+    if precision + recall == 0:
+        return 0.0
+    return 2.0 * precision * recall / (precision + recall)
+
+
+def _adversarial_masks(h, w, rng):
+    """Masks that stress the seg2bmap edge rules and dilation borders:
+    thin 1-px structures, border-touching rectangles, single pixels at the
+    corners (incl. bottom-right, which seg2bmap never marks), full / empty
+    masks, random noise, and diagonal 1-px lines."""
+    masks = [np.zeros((h, w), np.uint8), np.ones((h, w), np.uint8)]
+    for y, x in [(0, 0), (0, w - 1), (h - 1, 0), (h - 1, w - 1),
+                 (h // 2, w // 2)]:
+        m = np.zeros((h, w), np.uint8)
+        m[y, x] = 1
+        masks.append(m)
+    m = np.zeros((h, w), np.uint8)
+    m[h // 2, :] = 1                      # full-width 1-px line
+    masks.append(m)
+    m = np.zeros((h, w), np.uint8)
+    m[:, w - 1] = 1                       # last column
+    masks.append(m)
+    m = np.zeros((h, w), np.uint8)
+    m[h - 1, :] = 1                       # last row
+    masks.append(m)
+    m = np.zeros((h, w), np.uint8)
+    for i in range(min(h, w)):
+        m[i, i] = 1                       # diagonal
+    masks.append(m)
+    masks.append(_rect(h, w, 0, h, 0, 2))   # border-flush tall strip
+    masks.append(_rect(h, w, h // 3, 2 * h // 3, w // 3, 2 * w // 3))
+    for _ in range(3):
+        masks.append((rng.rand(h, w) > 0.7).astype(np.uint8))
+    return masks
+
+
+@pytest.mark.parametrize("h,w", [(16, 16), (17, 31), (24, 13), (64, 113)])
+def test_f_matches_official_transcription(h, w):
+    """Our vectorized db_eval_boundary must equal the literal official
+    algorithm (seg2bmap edge rules, float-radius disk, dilation borders,
+    zero-boundary P/R table) on every adversarial mask pair."""
+    rng = np.random.RandomState(h * 100 + w)
+    masks = _adversarial_masks(h, w, rng)
+    pairs = [(a, b) for a in masks for b in masks[:6]]
+    pairs += list(zip(masks, masks))
+    for gt, pred in pairs:
+        want = _official_db_eval_boundary(np.asarray(pred, bool),
+                                          np.asarray(gt, bool))
+        got = db_eval_boundary(gt[None], pred[None])[0]
+        np.testing.assert_allclose(got, want, atol=1e-12, err_msg=(
+            f"F mismatch at {h}x{w}: gt.sum={gt.sum()} pred.sum={pred.sum()}"))
+
+
+def test_f_radius_follows_official_ceil():
+    """The dilation radius is ceil(0.008 * diag) — check the rounding at
+    sizes that straddle integer radii: diag(64,113)=129.9 -> r=2;
+    diag(88,88)=124.5 -> r=1; diag(89,89)=125.9 -> r=2 (0.008*125.865=1.0069).
+    A 2-px boundary shift then flips F at the radius step."""
+    for (h, w), expect_r in [((64, 113), 2), ((88, 88), 1), ((89, 89), 2)]:
+        assert int(np.ceil(0.008 * np.linalg.norm((h, w)))) == expect_r
+        a = np.zeros((h, w), np.uint8)
+        b = np.zeros((h, w), np.uint8)
+        a[10:h - 10, 10:w - 20] = 1
+        b[10:h - 10, 12:w - 18] = 1      # 2-px horizontal shift
+        f = db_eval_boundary(a[None], b[None])[0]
+        if expect_r >= 2:
+            # every boundary pixel within the disk of the counterpart
+            assert f == 1.0, (h, w, f)
+        else:
+            assert f < 1.0, (h, w, f)
+
+
 def test_f_tolerates_small_shift():
     """A 1-px shift stays within the dilation radius at 64x64 (radius
     ceil(0.008*diag)=1), so F stays 1.0."""

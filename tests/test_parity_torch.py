@@ -22,7 +22,18 @@ import pytest
 REFERENCE_ROOT = "/root/reference"
 HERE = os.path.dirname(os.path.abspath(__file__))
 
-PRESETS = {"default": None, "davis": "davis_1", "ytvis": "youtube_vis"}
+# variant -> our-side preset name (None = default config). "x101" runs the
+# default head config on the ResNeXt-101 backbone (num_groups=32,
+# width_per_group=8): the reference registers the key but its spec table
+# lacks it (backbone/__init__.py:9 vs resnet.py:352-355), so ref_runner
+# patches the spec into the torch subprocess — this covers the one model
+# branch (grouped convs) the named presets never build.
+PRESETS = {"default": None, "davis": "davis_1", "ytvis": "youtube_vis",
+           "x101": None}
+
+X101_OVERRIDES = {"model": {"backbone": {"type": "X-101-FPN"},
+                            "resnets": {"num_groups": 32,
+                                        "width_per_group": 8}}}
 
 
 @pytest.fixture(scope="module", params=list(PRESETS))
@@ -64,6 +75,10 @@ def converted(golden, variant):
                   if k.startswith("state/")}
 
     cfg = default_config() if PRESETS[variant] is None else load_preset(PRESETS[variant])
+    if variant == "x101":
+        from stemseg_tpu.config import merge
+
+        cfg = merge(cfg, X101_OVERRIDES)
     model = build_model(cfg, for_training=False)
     init_vars = model.init(jax.random.PRNGKey(0), np.zeros_like(x))
     variables = merge_variables(init_vars, convert_state_dict(state_dict))

@@ -37,9 +37,11 @@ import sys
 import numpy as np
 import pytest
 
-KNIFE_EPS = 3e-6
-# absolute knife-edge pixels allowed per compared map (typical case: 0)
-PIXEL_BUDGET_ABS = 8
+from knife_edge import (
+    PIXEL_BUDGET_ABS,
+    assert_equal_mod_knife_edge as _assert_equal_mod_knife_edge_impl,
+    instance_float_maps,
+)
 
 pytestmark = pytest.mark.skipif(not os.path.isdir("/root/reference"),
                                 reason="reference repo not available")
@@ -124,40 +126,10 @@ PRODUCTION_GEOMETRY = [
 
 def _instance_float_maps(labels_t, kept, image_dims, min_dim=MIN_DIM,
                          max_dim=MAX_DIM):
-    """Pre-threshold float maps [K, H, W] for frame ``labels_t``."""
-    from stemseg_tpu.inference.output_utils.common import mask_resize_floats
-
-    onehot = (labels_t[None] == np.asarray(kept).reshape(-1, 1, 1))
-    return mask_resize_floats(onehot.astype(np.float32), 4, image_dims,
-                              min_dim, max_dim)
+    return instance_float_maps(labels_t, kept, image_dims, min_dim, max_dim)
 
 
-def _assert_equal_mod_knife_edge(ref_map, our_map, floats, involved_fn, name,
-                                 budget=PIXEL_BUDGET_ABS):
-    """ref/our maps must agree except at pixels where one of the involved
-    instances' float values is exactly on the 0.5 threshold.
-
-    :param floats: [K, H, W] pre-threshold float maps of the kept instances
-    :param involved_fn: (ref_val, our_val) -> iterable of kept-instance
-        INDICES (0-based) whose threshold decision could explain the pixel
-    :param budget: ABSOLUTE number of knife-edge pixels tolerated in this
-        map; 0 for identity-resize geometries (exact arithmetic end-to-end)
-    :return: number of knife-edge pixels
-    """
-    mism = np.nonzero(ref_map != our_map)
-    n_bad = len(mism[0])
-    if n_bad == 0:
-        return 0
-    assert n_bad <= budget, \
-        f"{name}: {n_bad} mismatched pixels exceeds the knife-edge budget {budget}"
-    for y, x in zip(*mism):
-        cands = list(involved_fn(ref_map[y, x], our_map[y, x]))
-        assert cands and any(
-            abs(float(floats[k, y, x]) - 0.5) < KNIFE_EPS for k in cands), (
-            f"{name}: genuine mismatch at ({y},{x}): ref={ref_map[y, x]} "
-            f"ours={our_map[y, x]} floats="
-            f"{[float(floats[k, y, x]) for k in cands]}")
-    return n_bad
+_assert_equal_mod_knife_edge = _assert_equal_mod_knife_edge_impl
 
 
 @pytest.mark.parametrize("image_dims,mask_hw,min_dim,max_dim,budget",
