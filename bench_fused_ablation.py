@@ -60,6 +60,45 @@ def _time_pipeline(pipe, frames_dev, windows, iters=3):
     return best
 
 
+def _time_graph_only(pipe, frames_dev, windows, iters=3):
+    """Time ONLY the fused graph dispatch (no intersection fetch, no host
+    association, no LUT dispatch): the difference vs ``_time_pipeline`` is
+    the association round-trip stall — host-side fold/Hungarian plus the
+    device->host->device latency, which through the axon tunnel is ~35 ms
+    per round trip and on a co-located host is ~1 ms."""
+    import jax.numpy as jnp
+
+    from stemseg_tpu.inference import fused_pipeline as fp
+
+    t_total = max(max(w) for w in windows) + 1
+    l_pad = fp._round_up(t_total, 16)
+    w_pad = fp._round_up(len(windows), 4)
+    sched = fp._Schedule(windows, pipe.cluster_params.max_instances,
+                         l_pad, w_pad)
+    band = pipe._band(sched.lookback)
+    variables = {"params": pipe.engine.params,
+                 "constants": pipe.engine.constants}
+    shape_key = (l_pad, w_pad, sched.t_win, sched.ring_rows)
+    backend = pipe._cluster_backend(
+        sched.t_win * (480 // 4) * (864 // 4))
+    xs = sched.as_xs()
+
+    def run():
+        out = pipe._fused(variables, jnp.asarray(frames_dev), xs,
+                          resize_hw=(480, 854), semseg_output_type="probs",
+                          seediness_fg_threshold=0.25, backend=backend,
+                          shape_key=shape_key, band=band)
+        _sync(out["committed"])
+
+    run()
+    best = float("inf")
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        run()
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
 @contextlib.contextmanager
 def _patched(obj, name, value):
     orig = getattr(obj, name)
@@ -114,6 +153,44 @@ def main():
     pipe = fp.FusedSequencePipeline(eng, params)
     t_full = _time_pipeline(pipe, frames_dev, windows)
     results["full_ms"] = round(t_full * 1e3, 1)
+
+    # ---- graph-only: the fused dispatch without the association round
+    # trips (fetch inters -> host Hungarian -> LUT dispatch). The delta is
+    # pure host/tunnel stall, not on-chip compute. ----
+    t_graph = _time_graph_only(pipe, frames_dev, windows)
+    results["graph_only_ms"] = round(t_graph * 1e3, 1)
+    results["assoc_stall_ms"] = round((t_full - t_graph) * 1e3, 1)
+
+    # ---- no_intersections: the one-hot + matmul block stubbed ----
+    def zero_intersections(existing, labels, ov, cand1, cand2):
+        # DCE guard: inter must depend on existing/labels (else the
+        # committed gather and the cluster labels feeding it die)
+        eps = 1e-30 * (jnp.sum(existing.astype(jnp.float32))
+                       + jnp.sum(labels.astype(jnp.float32)))
+        return (eps + jnp.zeros((cand1.shape[0], cand2.shape[0]),
+                                jnp.float32),
+                eps + jnp.zeros((cand1.shape[0],), jnp.float32),
+                eps + jnp.zeros((cand2.shape[0],), jnp.float32))
+
+    with _patched(fp, "_intersection_block", zero_intersections):
+        pipe_i = fp.FusedSequencePipeline(InferenceEngine(cfg, variables),
+                                          params)
+        t = _time_graph_only(pipe_i, frames_dev, windows)
+    results["no_intersections_graph_ms"] = round(t * 1e3, 1)
+    results["intersections_in_situ_ms"] = round((t_graph - t) * 1e3, 1)
+
+    # ---- no_scatter: semseg accumulation stubbed (derive_masks then sees
+    # constant zeros; clustering still runs on live emb/bw/seed) ----
+    def zero_scatter(acc, cnt, tgt, wmap):
+        eps = 1e-30 * jnp.sum(wmap)  # keep the heads' wmap output alive
+        return acc + eps, cnt.at[tgt].add(1.0)
+
+    with _patched(fp, "_semseg_scatter", zero_scatter):
+        pipe_s = fp.FusedSequencePipeline(InferenceEngine(cfg, variables),
+                                          params)
+        t = _time_graph_only(pipe_s, frames_dev, windows)
+    results["no_scatter_graph_ms"] = round(t * 1e3, 1)
+    results["scatter_in_situ_ms"] = round((t_graph - t) * 1e3, 1)
 
     # ---- no_backbone_new: same executable, has_new=False at runtime ----
     orig_init = fp._Schedule.__init__
@@ -183,11 +260,14 @@ def main():
 
     explained = (results["heads_in_situ_ms"]
                  + results["backbone_new_in_situ_ms"]
-                 + results["cluster_in_situ_ms"])
+                 + results["cluster_in_situ_ms"]
+                 + results["assoc_stall_ms"]
+                 + results["intersections_in_situ_ms"]
+                 + results["scatter_in_situ_ms"])
     results["machinery_residual_ms"] = round(results["full_ms"] - explained, 1)
-    results["note"] = ("machinery_residual = full - in-situ deltas: prelude "
-                       "backbone, scatter/derive, intersections, scan/carry "
-                       "overhead, LUT/association round trips")
+    results["note"] = ("machinery_residual = full - in-situ deltas - assoc "
+                       "stall: prelude backbone, scan/carry overhead, "
+                       "derive/LUT, differencing bias")
     print(json.dumps(results))
 
 

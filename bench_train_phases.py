@@ -68,7 +68,8 @@ def _flops(compiled):
         return 0.0
 
 
-def bench_variant(preset, mixed_precision=False, remat=False, n_instances=8):
+def bench_variant(preset, mixed_precision=False, remat=False, n_instances=8,
+                  hw=(736, 1248)):
     import jax
     import jax.numpy as jnp
 
@@ -82,7 +83,7 @@ def bench_variant(preset, mixed_precision=False, remat=False, n_instances=8):
     if mixed_precision:
         cfg = merge(cfg, {"training": {"mixed_precision": True}})
     t = cfg.input.num_frames
-    h, w = 736, 1248
+    h, w = hw
 
     model = build_model(cfg, for_training=True, remat_backbone=remat)
     state, tx = create_train_state(
@@ -160,6 +161,10 @@ def main():
     variants = [
         ("davis_1_fp32", dict(preset="davis_1")),
         ("davis_1_bf16", dict(preset="davis_1", mixed_precision=True)),
+        # inference-bench geometry with the SAME embedded-differencing
+        # method: separates geometry from method in the fwd-MFU comparison
+        # against bench.py's standalone 480p forward (0.43)
+        ("davis_1_fp32_480p", dict(preset="davis_1", hw=(480, 864))),
         ("davis_2_16f_remat", dict(preset="davis_2", remat=True)),
         ("davis_2_16f_noremat", dict(preset="davis_2", remat=False)),
     ]

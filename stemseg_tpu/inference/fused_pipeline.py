@@ -19,11 +19,14 @@ round-trips per sequence regardless of length:
 Graph structure (per compile bucket):
 
 * prelude: backbone+FPN on window 0's T frames -> feature rings
-  (rows assigned statically: ``frame % 2T`` — any two live frames are
-  < 2T apart, see ring-liveness note in ``_build_schedule``);
-* scan A over windows: backbone on the ≤stride NEW frames, ring write,
-  heads on the T gathered rows, scatter-add semseg logits into per-frame
-  accumulators; emits (embeddings, bandwidths, seediness) per window;
+  (primary rows assigned statically: ``frame % 2T`` — any two live frames
+  are < 2T apart; rows ``p < T-1`` are additionally MIRRORED at ``p + 2T``
+  so a window's T rows are always one plain contiguous run, see the
+  mirrored-ring note in ``_Schedule``);
+* scan A over windows: backbone on the ≤stride NEW frames, ring write
+  (primary + mirror), heads on ONE contiguous T-row dynamic-slice of the
+  rings, scatter-add semseg logits into per-frame accumulators; emits
+  (embeddings, bandwidths, seediness) per window;
 * fg/multiclass from the accumulated means (``engine.derive_masks``);
 * scan B over windows: (optional 4x upsample +) clustering in the window's
   disjoint raw id block, commit of newly-seen frames into a dense
@@ -64,14 +67,33 @@ class _Schedule:
                  l_pad: int, w_pad: int):
         w_real = len(windows)
         t_win = len(windows[0])
+        # MIRRORED ring: period 2T plus T-1 mirror rows plus a trash row.
+        # Window frames are contiguous (``get_subsequence_frames`` emits
+        # ``range(t, t+T)`` windows; asserted below), so a window's rows are
+        # a CIRCULAR contiguous run [s, s+T) mod 2T — mirroring rows
+        # p < T-1 at p + 2T turns it into a PLAIN contiguous run [s, s+T)
+        # over 3T-1 rows, and the heads' ring read becomes ONE
+        # ``dynamic_slice`` (a bulk DMA). The index-array gather it replaces
+        # lowered to an 8-iteration XLA while loop of per-row
+        # dynamic-slice + layout-copy + update (profiled at ~3 ms/window of
+        # the heads' 13 ms at 480p — the round-3 "machinery residual").
         ring = 2 * t_win
-        self.ring_rows = ring + 1           # +1 trash row
-        self.trash_row = ring
+        self.ring_period = ring
+        self.ring_rows = 3 * t_win          # 2T + (T-1) mirrors + 1 trash
+        self.trash_row = 3 * t_win - 1
         self.t_win = t_win
         self.w_real = w_real
         self.w_pad = w_pad
         self.l_pad = l_pad
         self.k = k
+
+        for win in windows:
+            assert list(win) == list(range(win[0], win[0] + t_win)), \
+                f"fused path requires contiguous windows, got {win}"
+
+        def mirror_row(t: int) -> int:
+            p = t % ring
+            return p + ring if p <= t_win - 2 else self.trash_row
 
         # per-window new frames (frames not seen in any earlier window)
         seen: set = set()
@@ -94,8 +116,9 @@ class _Schedule:
         new_ids = []      # [W, S] frame to read (0 for trash slots)
         has_new = []      # [W] window computes >=1 new frame (False for
                           # window 0 — prelude did it — and padded windows)
-        write_rows = []   # [W, S] ring row to write (trash for slots unused)
-        gather_rows = []  # [W, T] ring rows for the heads gather
+        write_rows = []   # [W, S] primary ring row to write (trash unused)
+        write_rows2 = []  # [W, S] mirror ring row (trash when p > T-2)
+        win_start = []    # [W] ring row the heads' T-row slice starts at
         scatter_tgt = []  # [W, T] semseg scatter frame (l_pad = trash)
         commit_tgt = []   # [W, T] committed-volume row (l_pad = trash)
         win_frames = []   # [W, T] frame ids (fg gather / committed gather)
@@ -111,11 +134,13 @@ class _Schedule:
                 win = windows[i]
                 new = new_per_win[i] if i > 0 else []
                 win_frames.append(list(win))
-                gather_rows.append([t % ring for t in win])
+                win_start.append(win[0] % ring)
                 new_ids.append(pad_list(new, s, 0))
                 has_new.append(len(new) > 0)
                 write_rows.append(pad_list([t % ring for t in new], s,
                                            self.trash_row))
+                write_rows2.append(pad_list([mirror_row(t) for t in new], s,
+                                            self.trash_row))
                 scatter_tgt.append(list(win))
                 commit_tgt.append([t if t in new_per_win[i] else l_pad
                                    for t in win])
@@ -139,10 +164,11 @@ class _Schedule:
                 prev = win
             else:  # padded window — fully skipped at runtime
                 win_frames.append([0] * t_win)
-                gather_rows.append([0] * t_win)
+                win_start.append(0)
                 new_ids.append([0] * s)
                 has_new.append(False)
                 write_rows.append([self.trash_row] * s)
+                write_rows2.append([self.trash_row] * s)
                 scatter_tgt.append([l_pad] * t_win)
                 commit_tgt.append([l_pad] * t_win)
                 overlap_msk.append([0.0] * t_win)
@@ -152,7 +178,13 @@ class _Schedule:
         self.has_new = np.asarray(has_new, bool)
         self.new_ids = np.asarray(new_ids, i32)
         self.write_rows = np.asarray(write_rows, i32)
-        self.gather_rows = np.asarray(gather_rows, i32)
+        self.write_rows2 = np.asarray(write_rows2, i32)
+        self.win_start = np.asarray(win_start, i32)
+        # prelude (window 0) write rows — consumed before the scan, shaped
+        # [T] not [W, ...]; popped out of the scanned xs
+        self.prelude_rows = np.asarray([t % ring for t in windows[0]], i32)
+        self.prelude_mirror = np.asarray([mirror_row(t) for t in windows[0]],
+                                         i32)
         self.scatter_tgt = np.asarray(scatter_tgt, i32)
         self.commit_tgt = np.asarray(commit_tgt, i32)
         self.win_frames = np.asarray(win_frames, i32)
@@ -168,7 +200,10 @@ class _Schedule:
             "has_new": self.has_new,
             "new_ids": self.new_ids,
             "write_rows": self.write_rows,
-            "gather_rows": self.gather_rows,
+            "write_rows2": self.write_rows2,
+            "win_start": self.win_start,
+            "prelude_rows": self.prelude_rows,
+            "prelude_mirror": self.prelude_mirror,
             "scatter_tgt": self.scatter_tgt,
             "commit_tgt": self.commit_tgt,
             "win_frames": self.win_frames,
@@ -181,6 +216,39 @@ class _Schedule:
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
+
+
+def _semseg_scatter(acc, cnt, tgt, wmap):
+    """Per-window semseg-logit accumulation (the reference's overlapping-
+    window averaging, ``inference_model.py:121-128``). Module-level so the
+    ablation harness (``bench_fused_ablation.py``) can stub it; jit inlines
+    it either way."""
+    return acc.at[tgt].add(wmap), cnt.at[tgt].add(1.0)
+
+
+def _remap_ids(committed, src, dst):
+    """Sparse id relabel: committed == src[r] -> dst[r], else unchanged.
+    ``src`` entries are unique (pad with -9, never a valid id), ``dst``
+    entries >= 1 (pad with -1). One fused broadcast-compare-reduce pass —
+    measured 1.5-2.4 ms at [65, 120, 216] x R<=128 vs 14.4 ms for the
+    equivalent small-table LUT gather (TPU scalar gathers are slow)."""
+    cand = jnp.where(committed[..., None] == src, dst, -1)
+    best = jnp.max(cand, axis=-1)
+    return jnp.where(best >= 0, best, committed)
+
+
+def _intersection_block(existing, labels, ov, cand1, cand2):
+    """Overlap-frame intersection counts between committed and new raw ids
+    as one-hot MXU matmuls (``chainer._intersection_counts`` shape, queued
+    in-graph). Module-level for the ablation harness."""
+    a = jnp.where(ov, existing, -7).reshape(-1)
+    b = jnp.where(ov, labels, -7).reshape(-1)
+    oh1 = (a[None, :] == cand1[:, None]).astype(jnp.float32)
+    oh2 = (b[None, :] == cand2[:, None]).astype(jnp.float32)
+    inter = jax.lax.dot_general(
+        oh1, oh2, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    return inter, jnp.sum(oh1, axis=1), jnp.sum(oh2, axis=1)
 
 
 class FusedSequencePipeline:
@@ -264,12 +332,16 @@ class FusedSequencePipeline:
                       for s in scales)
 
         # ---------- prelude: window 0's T frames ----------
+        xs = dict(xs)
+        prelude_rows = xs.pop("prelude_rows")      # [T], not scanned
+        prelude_mirror = xs.pop("prelude_mirror")  # [T], not scanned
         first_win = xs["win_frames"][0]
         feats0 = eng._backbone_features(frames[first_win], resize_hw,
                                         variables=variables)
-        rows0 = xs["gather_rows"][0]
-        rings = tuple(r.at[rows0].set(f.astype(r.dtype))
-                      for r, f in zip(rings, feats0))
+        prelude_wr = jnp.concatenate([prelude_rows, prelude_mirror])
+        rings = tuple(
+            r.at[prelude_wr].set(jnp.concatenate([f, f]).astype(r.dtype))
+            for r, f in zip(rings, feats0))
 
         # semseg accumulator dims (4x head scale x optional resize); without
         # a semseg head the accumulated map is the (unresized) seediness
@@ -317,11 +389,17 @@ class FusedSequencePipeline:
                               r.dtype) for r in rings)
 
             feats = jax.lax.cond(x["has_new"], with_new, no_new, None)
-            rings = tuple(r.at[x["write_rows"]].set(f)
+            # one scatter covering primary + mirror rows
+            wr = jnp.concatenate([x["write_rows"], x["write_rows2"]])
+            rings = tuple(r.at[wr].set(jnp.concatenate([f, f]))
                           for r, f in zip(rings, feats))
 
             def real(_):
-                window = tuple(r[x["gather_rows"]] for r in rings)
+                # ONE contiguous dynamic-slice per scale (see _Schedule's
+                # mirrored-ring note) instead of an index-array gather
+                window = tuple(
+                    jax.lax.dynamic_slice_in_dim(r, x["win_start"], t_win,
+                                                 axis=0) for r in rings)
                 coarsest_first = [f[None] for f in window[::-1]]
                 emb, bw, seed, semseg = eng._heads_from_features(
                     coarsest_first, variables=variables)
@@ -342,8 +420,7 @@ class FusedSequencePipeline:
                                                None)
             # padded windows scatter zeros into the l_pad trash row (the
             # schedule's scatter_tgt) — never read back
-            acc = acc.at[x["scatter_tgt"]].add(wmap)
-            cnt = cnt.at[x["scatter_tgt"]].add(1.0)
+            acc, cnt = _semseg_scatter(acc, cnt, x["scatter_tgt"], wmap)
             return (rings, acc, cnt), (emb, bw, seed)
 
         (_, acc, cnt), (embs, bws, seeds) = jax.lax.scan(
@@ -390,17 +467,10 @@ class FusedSequencePipeline:
 
                 existing = committed[x["win_frames"]]
                 ov = x["overlap_msk"][:, None, None] > 0.5
-                a = jnp.where(ov, existing, -7).reshape(-1)
-                b = jnp.where(ov, labels, -7).reshape(-1)
                 cand1 = jnp.maximum(x["cand_base"] + band_iota, 0)
                 cand2 = x["label_base"] + k_iota
-                oh1 = (a[None, :] == cand1[:, None]).astype(jnp.float32)
-                oh2 = (b[None, :] == cand2[:, None]).astype(jnp.float32)
-                inter = jax.lax.dot_general(
-                    oh1, oh2, (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32)
-                n1 = jnp.sum(oh1, axis=1)
-                n2 = jnp.sum(oh2, axis=1)
+                inter, n1, n2 = _intersection_block(existing, labels, ov,
+                                                    cand1, cand2)
 
                 return labels, (inter, n1, n2, res.centers, res.bandwidths,
                                 res.valid, res.seed_probs)
@@ -439,10 +509,46 @@ class FusedSequencePipeline:
 
     # ------------------------------------------------------------------
 
+    # remap-slot buckets (static jit signatures); beyond the largest the
+    # LUT-gather fallback below handles the (practically unreachable)
+    # > 512-association case
+    REMAP_BUCKETS = (32, 128, 512)
+
+    @functools.partial(jax.jit, static_argnums=(0,),
+                       static_argnames=("out_dtype",))
+    def _apply_remap(self, committed, src, dst, *, out_dtype):
+        return _remap_ids(committed, src, dst).astype(out_dtype)
+
     @functools.partial(jax.jit, static_argnums=(0,))
     def _apply_lut(self, committed, lut):
-        """committed raw ids -> global track ids; one gather dispatch."""
+        """committed raw ids -> global track ids; one gather dispatch
+        (fallback for > max(REMAP_BUCKETS) associations)."""
         return lut[committed + 1]
+
+    def _relabel_device(self, committed, gmap, w_pad: int):
+        """Resolve ``gmap`` chains and rewrite the committed volume on
+        device. int16 transport whenever ids fit (halves the label fetch)."""
+        k = self.cluster_params.max_instances
+        out_dtype = jnp.int16 if w_pad * k + 1 < 2 ** 15 else jnp.int32
+        remaps = []
+        for raw, g in gmap.items():
+            while g in gmap:  # chase chains (gmap folds forward; stay safe)
+                g = gmap[g]
+            remaps.append((raw, g))
+        bucket = next((b for b in self.REMAP_BUCKETS
+                       if len(remaps) <= b), None)
+        if bucket is None:
+            lut = np.arange(-1, w_pad * k + 1,
+                            dtype=np.dtype(out_dtype))  # identity
+            for raw, g in remaps:
+                lut[raw + 1] = g
+            return self._apply_lut(committed, jnp.asarray(lut))
+        src = np.full(bucket, -9, np.int32)
+        dst = np.full(bucket, -1, np.int32)
+        for j, (raw, g) in enumerate(remaps):
+            src[j], dst[j] = raw, g
+        return self._apply_remap(committed, jnp.asarray(src),
+                                 jnp.asarray(dst), out_dtype=out_dtype)
 
     def run(self, frames: np.ndarray, windows: List[List[int]],
             seediness_fg_threshold: float = 0.25,
@@ -526,16 +632,7 @@ class FusedSequencePipeline:
             jobs.append((i, cand1, cand2, inters[i], n1s[i], n2s[i]))
         gmap, _ = fold_and_associate(jobs)
 
-        # int16 label transport halves the label fetch; ids are bounded by
-        # the raw-block ceiling w_pad*k+1 (cast back to int32 on the host)
-        lut_dtype = np.int16 if w_pad * k + 1 < 2 ** 15 else np.int32
-        lut = np.arange(-1, w_pad * k + 1, dtype=lut_dtype)  # identity
-        for raw, g in gmap.items():
-            # chase chains (gmap folds forward already, but stay safe)
-            while g in gmap:
-                g = gmap[g]
-            lut[raw + 1] = g
-        labels_dev = self._apply_lut(out["committed"], jnp.asarray(lut))
+        labels_dev = self._relabel_device(out["committed"], gmap, w_pad)
 
         if device_outputs:
             return (labels_dev, None, None, out["fg_masks"],
@@ -595,6 +692,11 @@ class FusedSequencePipeline:
     @functools.partial(jax.jit, static_argnums=(0,))
     def _apply_lut_batch(self, committed, luts):
         return jax.vmap(lambda c, l: l[c + 1])(committed, luts)
+
+    @functools.partial(jax.jit, static_argnums=(0,),
+                       static_argnames=("out_dtype",))
+    def _apply_remap_batch(self, committed, src, dst, *, out_dtype):
+        return jax.vmap(_remap_ids)(committed, src, dst).astype(out_dtype)
 
     def run_batch(self, frames_batch: List[np.ndarray],
                   windows_batch: List[List[List[int]]], mesh,
@@ -669,9 +771,7 @@ class FusedSequencePipeline:
         # ---- round trip 1: all sequences' intersections in one fetch ----
         inters, n1s, n2s = jax.device_get((out["inters"], out["n1s"],
                                            out["n2s"]))
-        lut_dtype = np.int16 if w_pad * k + 1 < 2 ** 15 else np.int32
-        luts = np.tile(np.arange(-1, w_pad * k + 1, dtype=lut_dtype),
-                       (n_dev, 1))
+        remaps: List[List[Tuple[int, int]]] = [[] for _ in range(n_dev)]
         for b in range(b_real):
             sched = scheds[b]
             jobs = []
@@ -685,9 +785,28 @@ class FusedSequencePipeline:
             for raw, g in gmap.items():
                 while g in gmap:
                     g = gmap[g]
-                luts[b, raw + 1] = g
-        labels_dev = self._apply_lut_batch(out["committed"],
-                                           jnp.asarray(luts))
+                remaps[b].append((raw, g))
+
+        out_dtype = jnp.int16 if w_pad * k + 1 < 2 ** 15 else jnp.int32
+        bucket = next((bk for bk in self.REMAP_BUCKETS
+                       if max(len(r) for r in remaps) <= bk), None)
+        if bucket is None:
+            luts = np.tile(np.arange(-1, w_pad * k + 1,
+                                     dtype=np.dtype(out_dtype)), (n_dev, 1))
+            for b, rm in enumerate(remaps):
+                for raw, g in rm:
+                    luts[b, raw + 1] = g
+            labels_dev = self._apply_lut_batch(out["committed"],
+                                               jnp.asarray(luts))
+        else:
+            src = np.full((n_dev, bucket), -9, np.int32)
+            dst = np.full((n_dev, bucket), -1, np.int32)
+            for b, rm in enumerate(remaps):
+                for j, (raw, g) in enumerate(rm):
+                    src[b, j], dst[b, j] = raw, g
+            labels_dev = self._apply_remap_batch(
+                out["committed"], jnp.asarray(src), jnp.asarray(dst),
+                out_dtype=out_dtype)
 
         # ---- round trip 2: all final volumes in one fetch ----
         fetch = [labels_dev, out["fg_masks"]]
