@@ -45,7 +45,7 @@ import time
 
 # single source of truth for the per-device peak table and the tunnel-safe
 # tiny-slice sync (CLAUDE.md: block_until_ready doesn't sync through axon)
-from bench import _PEAK_TFLOPS, sync_tiny as _sync
+from bench import _PEAK_TFLOPS, _enable_compile_cache, sync_tiny as _sync
 
 
 def _time_compiled(compiled, args, iters=6):
@@ -168,6 +168,7 @@ def main():
         ("davis_2_16f_remat", dict(preset="davis_2", remat=True)),
         ("davis_2_16f_noremat", dict(preset="davis_2", remat=False)),
     ]
+    _enable_compile_cache()
     results = {}
     for name, kw in variants:
         results[name] = bench_variant(**kw)

@@ -141,6 +141,45 @@ def test_lovasz_basic_properties():
     assert float(lovasz_hinge(perfect, labels)) < 1e-6
 
 
+def test_lovasz_custom_vjp_matches_autodiff():
+    """The hand-written backward (inverse-permute the Jaccard weights with a
+    second sort — ``lovasz.py`` module docstring) must be BIT-IDENTICAL to
+    autodiffing through the sort, including under heavy error ties where the
+    stable-sort order decides ranks."""
+    import jax
+    import jax.numpy as jnp
+
+    from stemseg_tpu.losses import lovasz_hinge
+    from stemseg_tpu.losses.lovasz import lovasz_grad_from_sorted
+
+    def lovasz_autodiff(logits, labels):
+        # the pre-round-4 implementation: differentiate through lax.sort
+        labels = labels.astype(logits.dtype)
+        signs = 2.0 * labels - 1.0
+        errors = 1.0 - logits * signs
+        neg_sorted, gt_sorted = jax.lax.sort((-errors, labels), num_keys=1)
+        grad = lovasz_grad_from_sorted(jax.lax.stop_gradient(gt_sorted))
+        return jnp.dot(jax.nn.relu(-neg_sorted), grad)
+
+    rng = np.random.RandomState(11)
+    cases = []
+    logits = rng.randn(4, 997).astype(np.float32)
+    labels = (rng.rand(4, 997) < 0.3).astype(np.float32)
+    cases.append((logits, labels))
+    # tie-heavy: quantized logits -> many exactly-equal errors
+    cases.append((np.round(logits * 2.0) / 2.0, labels))
+    # all-positive / all-negative instances
+    cases.append((logits, np.stack([np.ones(997), np.zeros(997),
+                                    labels[0], labels[1]]).astype(np.float32)))
+
+    for lg, lb in cases:
+        lg, lb = jnp.asarray(lg), jnp.asarray(lb)
+        v_new, g_new = jax.vmap(jax.value_and_grad(lovasz_hinge))(lg, lb)
+        v_old, g_old = jax.vmap(jax.value_and_grad(lovasz_autodiff))(lg, lb)
+        np.testing.assert_array_equal(np.asarray(v_new), np.asarray(v_old))
+        np.testing.assert_array_equal(np.asarray(g_new), np.asarray(g_old))
+
+
 def test_embedding_loss_is_differentiable():
     import jax
     import jax.numpy as jnp
