@@ -110,16 +110,30 @@ def _patched(obj, name, value):
 
 
 def main():
+    import sys
+
     import jax
     import jax.numpy as jnp
 
     from stemseg_tpu.config import default_config
     from stemseg_tpu.inference import fused_pipeline as fp
     from stemseg_tpu.inference.clustering import ClusterParams, ClusterResult
-    from stemseg_tpu.inference.engine import InferenceEngine
+    from stemseg_tpu.inference.engine import InferenceEngine as _Engine
     from stemseg_tpu.inference.windows import get_subsequence_frames
     from stemseg_tpu.models import build_model
     from stemseg_tpu.models.embedding_utils import get_nb_free_dims
+
+    # --bf16: the CLI's --bf16 path (compute-dtype backbone/heads/rings;
+    # clustering, averaging and the committed volume stay fp32 — the cond
+    # branches pin them, fused_pipeline.py scan_a). Skips the intersection/
+    # scatter stubs, which measured as differencing noise in fp32 and only
+    # exist to prove that; each skipped stub saves one ~2 min 64-frame
+    # graph compile through the tunnel.
+    bf16 = "--bf16" in sys.argv[1:]
+    eng_dtype = jnp.bfloat16 if bf16 else None
+
+    def InferenceEngine(cfg, variables):
+        return _Engine(cfg, variables, dtype=eng_dtype)
 
     cfg = default_config()
     t_total, h0, w0 = 64, 480, 854
@@ -146,7 +160,7 @@ def main():
         jax.random.PRNGKey(0))
     _sync(frames_dev)
 
-    results = {}
+    results = {"dtype": "bf16" if bf16 else "fp32"}
 
     # ---- full (baseline) ----
     eng = InferenceEngine(cfg, variables)
@@ -161,36 +175,42 @@ def main():
     results["graph_only_ms"] = round(t_graph * 1e3, 1)
     results["assoc_stall_ms"] = round((t_full - t_graph) * 1e3, 1)
 
-    # ---- no_intersections: the one-hot + matmul block stubbed ----
-    def zero_intersections(existing, labels, ov, cand1, cand2):
-        # DCE guard: inter must depend on existing/labels (else the
-        # committed gather and the cluster labels feeding it die)
-        eps = 1e-30 * (jnp.sum(existing.astype(jnp.float32))
-                       + jnp.sum(labels.astype(jnp.float32)))
-        return (eps + jnp.zeros((cand1.shape[0], cand2.shape[0]),
-                                jnp.float32),
-                eps + jnp.zeros((cand1.shape[0],), jnp.float32),
-                eps + jnp.zeros((cand2.shape[0],), jnp.float32))
+    if not bf16:
+        # ---- no_intersections: the one-hot + matmul block stubbed ----
+        def zero_intersections(existing, labels, ov, cand1, cand2):
+            # DCE guard: inter must depend on existing/labels (else the
+            # committed gather and the cluster labels feeding it die)
+            eps = 1e-30 * (jnp.sum(existing.astype(jnp.float32))
+                           + jnp.sum(labels.astype(jnp.float32)))
+            return (eps + jnp.zeros((cand1.shape[0], cand2.shape[0]),
+                                    jnp.float32),
+                    eps + jnp.zeros((cand1.shape[0],), jnp.float32),
+                    eps + jnp.zeros((cand2.shape[0],), jnp.float32))
 
-    with _patched(fp, "_intersection_block", zero_intersections):
-        pipe_i = fp.FusedSequencePipeline(InferenceEngine(cfg, variables),
-                                          params)
-        t = _time_graph_only(pipe_i, frames_dev, windows)
-    results["no_intersections_graph_ms"] = round(t * 1e3, 1)
-    results["intersections_in_situ_ms"] = round((t_graph - t) * 1e3, 1)
+        with _patched(fp, "_intersection_block", zero_intersections):
+            pipe_i = fp.FusedSequencePipeline(InferenceEngine(cfg, variables),
+                                              params)
+            t = _time_graph_only(pipe_i, frames_dev, windows)
+        results["no_intersections_graph_ms"] = round(t * 1e3, 1)
+        results["intersections_in_situ_ms"] = round((t_graph - t) * 1e3, 1)
 
-    # ---- no_scatter: semseg accumulation stubbed (derive_masks then sees
-    # constant zeros; clustering still runs on live emb/bw/seed) ----
-    def zero_scatter(acc, cnt, tgt, wmap):
-        eps = 1e-30 * jnp.sum(wmap)  # keep the heads' wmap output alive
-        return acc + eps, cnt.at[tgt].add(1.0)
+        # ---- no_scatter: semseg accumulation stubbed (derive_masks then
+        # sees constant zeros; clustering still runs on live emb/bw/seed) ----
+        def zero_scatter(acc, cnt, tgt, wmap):
+            eps = 1e-30 * jnp.sum(wmap)  # keep the heads' wmap output alive
+            return acc + eps, cnt.at[tgt].add(1.0)
 
-    with _patched(fp, "_semseg_scatter", zero_scatter):
-        pipe_s = fp.FusedSequencePipeline(InferenceEngine(cfg, variables),
-                                          params)
-        t = _time_graph_only(pipe_s, frames_dev, windows)
-    results["no_scatter_graph_ms"] = round(t * 1e3, 1)
-    results["scatter_in_situ_ms"] = round((t_graph - t) * 1e3, 1)
+        with _patched(fp, "_semseg_scatter", zero_scatter):
+            pipe_s = fp.FusedSequencePipeline(InferenceEngine(cfg, variables),
+                                              params)
+            t = _time_graph_only(pipe_s, frames_dev, windows)
+        results["no_scatter_graph_ms"] = round(t * 1e3, 1)
+        results["scatter_in_situ_ms"] = round((t_graph - t) * 1e3, 1)
+    else:
+        results["no_intersections_graph_ms"] = None
+        results["intersections_in_situ_ms"] = 0.0
+        results["no_scatter_graph_ms"] = None
+        results["scatter_in_situ_ms"] = 0.0
 
     # ---- no_backbone_new: same executable, has_new=False at runtime ----
     orig_init = fp._Schedule.__init__
