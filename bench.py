@@ -132,7 +132,8 @@ def bench_forward(cfg, variables, model, dtype_name="fp32"):
 
 def bench_e2e(cfg, variables, dtype=None, wall=True):
     """Fused one-jit pipeline (the CLI path): whole sequence -> labels in
-    <=3 host round-trips. Wall fps (best AND median of 3 — tunnel transfer
+    ONE dispatch + one fetch (in-graph Hungarian association since round
+    4). Wall fps (best AND median of 3 — tunnel transfer
     bandwidth varies 10x run to run) plus the on-chip number with frames
     pre-staged in HBM and outputs left on device. ``dtype=bfloat16``
     measures the CLI's ``--bf16`` path (device fps only, skip wall);
@@ -179,9 +180,9 @@ def bench_e2e(cfg, variables, dtype=None, wall=True):
     else:
         wall_best = wall_median = None
 
-    # on-chip: frames pre-staged in HBM, outputs stay on device (the two
-    # association round-trips and the tiny inters fetch remain — they are
-    # part of the algorithm)
+    # on-chip: frames pre-staged in HBM, outputs stay on device; since the
+    # round-4 in-graph association (lsap.lsa_masked in scan B) this is ONE
+    # dispatch with zero intermediate host round-trips
     l_pad = _round_up(t_total, 16)
     frames_padded = np.concatenate(
         [frames, np.zeros((l_pad - t_total, h0, w0, 3), np.uint8)], axis=0)

@@ -26,8 +26,10 @@ upstream phases stay live, only the stubbed phase's own compute vanishes.
 
 Ablated outputs are garbage by construction; only times matter. The
 residual after subtracting the deltas and the isolated prelude estimate is
-the irreducible machinery (scan/carry, scatter/derive, intersections,
-LUT/fetch round trips).
+the irreducible machinery (scan/carry, scatter/derive, intersections).
+Since round 4 the Hungarian association runs IN-GRAPH (``lsap.lsa_masked``
+inside scan B — no host round trips); its in-situ cost is ablated like the
+other phases by stubbing ``fp.lsa_masked``.
 
 Run on the real chip: ``python bench_fused_ablation.py``.
 """
@@ -61,11 +63,12 @@ def _time_pipeline(pipe, frames_dev, windows, iters=3):
 
 
 def _time_graph_only(pipe, frames_dev, windows, iters=3):
-    """Time ONLY the fused graph dispatch (no intersection fetch, no host
-    association, no LUT dispatch): the difference vs ``_time_pipeline`` is
-    the association round-trip stall — host-side fold/Hungarian plus the
-    device->host->device latency, which through the axon tunnel is ~35 ms
-    per round trip and on a co-located host is ~1 ms."""
+    """Time ONLY the fused graph dispatch with the schedule prebuilt: the
+    difference vs ``_time_pipeline`` is the per-call host overhead
+    (``_Schedule`` construction + dispatch). The association round-trip
+    stall this used to isolate (54 ms fp32 / 36 ms bf16 through the tunnel
+    in round 4's first half) is gone by design — the Hungarian runs
+    in-graph."""
     import jax.numpy as jnp
 
     from stemseg_tpu.inference import fused_pipeline as fp
@@ -88,7 +91,7 @@ def _time_graph_only(pipe, frames_dev, windows, iters=3):
                           resize_hw=(480, 854), semseg_output_type="probs",
                           seediness_fg_threshold=0.25, backend=backend,
                           shape_key=shape_key, band=band)
-        _sync(out["committed"])
+        _sync(out["labels"])
 
     run()
     best = float("inf")
@@ -168,12 +171,30 @@ def main():
     t_full = _time_pipeline(pipe, frames_dev, windows)
     results["full_ms"] = round(t_full * 1e3, 1)
 
-    # ---- graph-only: the fused dispatch without the association round
-    # trips (fetch inters -> host Hungarian -> LUT dispatch). The delta is
-    # pure host/tunnel stall, not on-chip compute. ----
+    # ---- graph-only: prebuilt schedule; the delta vs full is the per-call
+    # host overhead (schedule build + dispatch), NOT an association stall —
+    # the Hungarian runs in-graph since round 4. ----
     t_graph = _time_graph_only(pipe, frames_dev, windows)
     results["graph_only_ms"] = round(t_graph * 1e3, 1)
-    results["assoc_stall_ms"] = round((t_full - t_graph) * 1e3, 1)
+    results["host_overhead_ms"] = round((t_full - t_graph) * 1e3, 1)
+
+    # ---- no_association: the in-graph Hungarian (lsap.lsa_masked) stubbed
+    # to no-matches; the relabel then degenerates to identity but its
+    # broadcast-compare remains, so the delta is the LSA loops alone ----
+    def zero_lsa(cost, row_valid, col_valid):
+        # DCE guard: keep the IoU/intersection chain alive through the
+        # returned indices (constant -1s would let XLA kill the matmuls)
+        dep = (jnp.sum(cost) * 1e-30 > 1.0).astype(jnp.int32)
+        c4r = jnp.full((cost.shape[0],), -1, jnp.int32) + dep
+        r4c = jnp.full((cost.shape[1],), -1, jnp.int32) + dep
+        return c4r, r4c
+
+    with _patched(fp, "lsa_masked", zero_lsa):
+        pipe_a = fp.FusedSequencePipeline(InferenceEngine(cfg, variables),
+                                          params)
+        t = _time_graph_only(pipe_a, frames_dev, windows)
+    results["no_association_graph_ms"] = round(t * 1e3, 1)
+    results["association_in_situ_ms"] = round((t_graph - t) * 1e3, 1)
 
     if not bf16:
         # ---- no_intersections: the one-hot + matmul block stubbed ----
@@ -281,13 +302,14 @@ def main():
     explained = (results["heads_in_situ_ms"]
                  + results["backbone_new_in_situ_ms"]
                  + results["cluster_in_situ_ms"]
-                 + results["assoc_stall_ms"]
+                 + results["host_overhead_ms"]
+                 + results["association_in_situ_ms"]
                  + results["intersections_in_situ_ms"]
                  + results["scatter_in_situ_ms"])
     results["machinery_residual_ms"] = round(results["full_ms"] - explained, 1)
-    results["note"] = ("machinery_residual = full - in-situ deltas - assoc "
-                       "stall: prelude backbone, scan/carry overhead, "
-                       "derive/LUT, differencing bias")
+    results["note"] = ("machinery_residual = full - in-situ deltas - host "
+                       "overhead: prelude backbone, scan/carry overhead, "
+                       "derive, differencing bias")
     print(json.dumps(results))
 
 

@@ -1,20 +1,21 @@
 """One-jit sequence inference: the ENTIRE per-sequence pipeline — sliding-
 window backbone, 3D heads, overlapping-window semseg averaging, per-window
-clustering, and the chainer's intersection matmuls — compiled into a single
-XLA program (two ``lax.scan``s over the static window schedule).
+clustering, AND the chainer's cross-window association (intersection
+matmuls + Hungarian assignment + relabel) — compiled into a single XLA
+program (two ``lax.scan``s over the static window schedule).
 
 Behavioral reference: ``/root/reference/stemseg/modeling/inference_model.py``
 (:83-186, streaming forward) + ``inference/online_chainer.py`` (:120-343,
 stitching). The per-window streaming path (``engine.infer_sequence`` +
 ``chainer.OnlineChainer``) dispatches ~10 device ops per window; through the
 axon tunnel (~0.67 ms per executed op, ~35 ms per round trip) that overhead
-is comparable to the window's compute. This module leaves THREE host
-round-trips per sequence regardless of length:
-
-1. ship raw uint8 frames H2D and dispatch the fused graph;
-2. fetch the queued intersection matrices, run the Hungarian association on
-   the host (tiny), dispatch the one-gather relabel;
-3. fetch final labels + fg + multiclass masks in one batched transfer.
+is comparable to the window's compute. This module leaves ONE host
+round-trip per sequence regardless of length: ship raw uint8 frames H2D,
+dispatch the fused graph, fetch final labels + fg + multiclass masks in one
+batched transfer. (Until round 4 the Hungarian ran on the host between two
+extra round trips — a measured 54 ms/sequence stall through the tunnel; the
+on-device ``lsap.lsa_masked`` replica costs ~0.24 ms/window in-graph and
+removes the device idle bubble on any remote-host deployment.)
 
 Graph structure (per compile bucket):
 
@@ -29,10 +30,17 @@ Graph structure (per compile bucket):
   (embeddings, bandwidths, seediness) per window;
 * fg/multiclass from the accumulated means (``engine.derive_masks``);
 * scan B over windows: (optional 4x upsample +) clustering in the window's
-  disjoint raw id block, commit of newly-seen frames into a dense
-  ``committed`` label volume, and the one-hot intersection matmul between
-  the committed labels and the new labels on the overlap frames — the
-  look-back candidate band is provably sufficient (``_build_schedule``).
+  disjoint raw id block; one-hot intersection matmul between the committed
+  GLOBAL labels and the new raw labels on the overlap frames (the look-back
+  candidate band is provably sufficient — the candidates are the lut roots
+  of the band's raw ids, and every committed pixel on an overlap frame
+  holds exactly such a root); IoU + masked Hungarian assignment in-graph
+  (``lsap.lsa_masked`` — an exact replica of the scipy call the host path /
+  the reference make, incl. tie-breaking); relabel of the window's labels
+  to their matched global ids; commit of newly-seen frames into the dense
+  ``committed`` volume. The carried ``lut`` (raw id -> global root) is
+  updated by an unconditional scatter (trash-slot-redirected for padded
+  windows — same carry-aliasing rule as the rings, see scan A).
 
 Compile buckets: sequence length L is bucketed (multiple of 16) and the
 window count W to a multiple of 4; padded windows are skipped at runtime
@@ -41,22 +49,29 @@ duplicated frame 0) fall back to the streaming path in the caller.
 
 Parity: produces bit-identical label volumes to
 ``OnlineChainer.process`` over ``engine.infer_sequence`` outputs (same raw
-id blocks, same fold/Hungarian on the same matrices — shared
-``fold_and_associate``); asserted by ``tests/test_fused_pipeline.py``.
+id blocks; the in-graph fold/Hungarian is provably the host
+``fold_and_associate`` computation — intersection counts per global equal
+the summed per-raw counts because chunk pixel sets are disjoint, and
+``lsa_masked`` replicates scipy's tie-breaking exactly, fuzz-pinned by
+``tests/test_lsap.py``); asserted by ``tests/test_fused_pipeline.py``.
+The only representational difference: float32 IoU costs on device vs the
+host path's float64 — these can disagree only when two assignments' total
+costs differ by less than f32 eps (sub-ulp near-ties; exact ties compare
+identically in both precisions).
 """
 
 from __future__ import annotations
 
-import functools
 from typing import Dict, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from stemseg_tpu.inference.chainer import fold_and_associate, track_stats
+from stemseg_tpu.inference.chainer import track_stats
 from stemseg_tpu.inference.clustering import ClusterParams, _cluster_window_jit
 from stemseg_tpu.inference.engine import InferenceEngine, derive_masks
+from stemseg_tpu.inference.lsap import lsa_masked
 
 
 class _Schedule:
@@ -269,8 +284,9 @@ class FusedSequencePipeline:
         window that overlaps one window further back (lookback N+1 vs the
         regular stride's N) still shares its sequence-length bucket's
         compile. Extra rows are provably zero (committed ids >= the window's
-        own block never appear before its commit) and ``fold_and_associate``
-        skips n1==0 rows by contract."""
+        own block never appear before its commit) and the in-graph
+        association masks n1==0 rows out of the Hungarian (``row_valid``),
+        exactly as the host ``fold_and_associate`` drops them."""
         k = self.cluster_params.max_instances
         return _round_up(k * lookback, max(self.LOOKBACK_PAD, 2 * k))
 
@@ -433,7 +449,7 @@ class FusedSequencePipeline:
             semseg_output_type=semseg_output_type,
             seediness_fg_threshold=seediness_fg_threshold)
 
-        # ---------- scan B: cluster + commit + intersections ----------
+        # ------- scan B: cluster + associate + relabel + commit -------
         k = self.cluster_params.max_instances
         h_c, w_c = (h4 * 4, w4 * 4) if self.cluster_full_scale else (h4, w4)
         committed0 = jnp.full((l_pad + 1, h_c, w_c), -1, jnp.int32)
@@ -441,13 +457,21 @@ class FusedSequencePipeline:
         k_iota = jnp.arange(k, dtype=jnp.int32)
         band_iota = jnp.arange(band, dtype=jnp.int32)
 
-        def scan_b(committed, x):
-            # same carry-aliasing invariant as scan A: ``committed`` never
-            # passes THROUGH the cond (each branch would copy the whole
-            # volume — 107 MB/window on the full-scale path); the cond
-            # returns this window's labels and the commit is an
-            # unconditional scatter into the schedule's commit_tgt rows
-            # (the l_pad trash row for padded windows, never read back)
+        # raw id -> global root id. Raw ids span [1, w_pad*k]; slot 0 is the
+        # clip target of out-of-band candidates (never a committed value)
+        # and the LAST slot is the trash target of padded windows' scatters.
+        lut_trash = w_pad * k + 1
+        lut0 = jnp.arange(lut_trash + 1, dtype=jnp.int32)
+
+        def scan_b(carry, x):
+            # same carry-aliasing invariant as scan A: ``committed`` and
+            # ``lut`` never pass THROUGH the cond (each branch would copy
+            # the whole volume — 107 MB/window on the full-scale path); the
+            # cond returns this window's relabeled labels + lut updates and
+            # both commits are unconditional scatters into schedule rows
+            # (trash rows/slots for padded windows, never read back)
+            committed, lut = carry
+
             def real(_):
                 emb = embs[x["i"]]
                 bw = bws[x["i"]]
@@ -463,92 +487,75 @@ class FusedSequencePipeline:
                 res = _cluster_window_jit(emb, bw, seed, fg_win,
                                           x["label_base"],
                                           self.cluster_params, backend)
-                labels = res.labels  # [T, h_c, w_c] raw global ids
+                labels = res.labels  # [T, h_c, w_c] raw ids, this block
+
+                # ---- fold: candidate GLOBALS = lut roots of band raws ----
+                # committed pixels hold lut[raw-at-commit] and lut entries
+                # are write-once (a new raw is assigned only at its own
+                # window), so counting pixels == root directly equals the
+                # host path's per-raw counts summed per root
+                # (fold_and_associate; chunk pixel sets are disjoint).
+                raws = jnp.maximum(x["cand_base"] + band_iota, 0)
+                roots = jnp.sort(lut[raws])  # ascending = host g_ids order
+                first = jnp.concatenate([jnp.ones((1,), bool),
+                                         roots[1:] != roots[:-1]])
 
                 existing = committed[x["win_frames"]]
                 ov = x["overlap_msk"][:, None, None] > 0.5
-                cand1 = jnp.maximum(x["cand_base"] + band_iota, 0)
                 cand2 = x["label_base"] + k_iota
                 inter, n1, n2 = _intersection_block(existing, labels, ov,
-                                                    cand1, cand2)
+                                                    roots, cand2)
 
-                return labels, (inter, n1, n2, res.centers, res.bandwidths,
-                                res.valid, res.seed_probs)
+                # ---- associate: masked Hungarian, scipy tie-breaking ----
+                row_valid = first & (roots > 0) & (n1 > 0)
+                col_valid = n2 > 0
+                union = n1[:, None] + n2[None, :] - inter
+                iou = jnp.where(union > 0,
+                                inter / jnp.maximum(union, 1.0), 0.0)
+                _, r4c = lsa_masked(1.0 - iou, row_valid, col_valid)
+
+                # per new cluster: its global id (matched root, else itself)
+                src = cand2
+                dst = jnp.where(r4c >= 0, roots[jnp.maximum(r4c, 0)], src)
+                labels = _remap_ids(labels, src, dst)
+                return labels, src, dst, (res.centers, res.bandwidths,
+                                          res.valid, res.seed_probs)
 
             def skip(_):
                 e_full = self.engine.embedding_size
                 return (jnp.full((t_win, h_c, w_c), -1, jnp.int32),
-                        (jnp.zeros((band, k), jnp.float32),
-                         jnp.zeros((band,), jnp.float32),
-                         jnp.zeros((k,), jnp.float32),
-                         jnp.zeros((k, e_full), jnp.float32),
+                        jnp.full((k,), lut_trash, jnp.int32),
+                        jnp.zeros((k,), jnp.int32),
+                        (jnp.zeros((k, e_full), jnp.float32),
                          jnp.zeros((k, e_full), jnp.float32),
                          jnp.zeros((k,), bool),
                          jnp.zeros((k,), jnp.float32)))
 
-            labels, ys = jax.lax.cond(x["is_real"], real, skip, None)
+            labels, src, dst, ys = jax.lax.cond(x["is_real"], real, skip,
+                                                None)
+            lut = lut.at[src].set(dst)
             committed = committed.at[x["commit_tgt"]].set(labels)
-            return committed, ys
+            return (committed, lut), ys
 
         xs_b = {key: jnp.asarray(xs[key]) for key in
                 ("win_frames", "overlap_msk", "commit_tgt", "is_real",
                  "label_base", "cand_base")}
         xs_b["i"] = jnp.arange(w_pad, dtype=jnp.int32)
-        committed, (inters, n1s, n2s, centers, cbws, valids, seedps) = \
-            jax.lax.scan(scan_b, committed0, xs_b)
+        (committed, _), (centers, cbws, valids, seedps) = \
+            jax.lax.scan(scan_b, (committed0, lut0), xs_b)
 
+        # int16 transport whenever ids fit (halves the label fetch)
+        out_dtype = jnp.int16 if w_pad * k + 1 < 2 ** 15 else jnp.int32
         return {
             "fg_masks": fg_masks[:l_pad],
             "multiclass_masks": multiclass[:l_pad] if multiclass is not None
             else None,
-            "committed": committed,
-            "inters": inters, "n1s": n1s, "n2s": n2s,
+            "labels": committed[:l_pad].astype(out_dtype),
             "centers": centers, "cluster_bandwidths": cbws,
             "valids": valids, "seed_probs": seedps,
         }
 
     # ------------------------------------------------------------------
-
-    # remap-slot buckets (static jit signatures); beyond the largest the
-    # LUT-gather fallback below handles the (practically unreachable)
-    # > 512-association case
-    REMAP_BUCKETS = (32, 128, 512)
-
-    @functools.partial(jax.jit, static_argnums=(0,),
-                       static_argnames=("out_dtype",))
-    def _apply_remap(self, committed, src, dst, *, out_dtype):
-        return _remap_ids(committed, src, dst).astype(out_dtype)
-
-    @functools.partial(jax.jit, static_argnums=(0,))
-    def _apply_lut(self, committed, lut):
-        """committed raw ids -> global track ids; one gather dispatch
-        (fallback for > max(REMAP_BUCKETS) associations)."""
-        return lut[committed + 1]
-
-    def _relabel_device(self, committed, gmap, w_pad: int):
-        """Resolve ``gmap`` chains and rewrite the committed volume on
-        device. int16 transport whenever ids fit (halves the label fetch)."""
-        k = self.cluster_params.max_instances
-        out_dtype = jnp.int16 if w_pad * k + 1 < 2 ** 15 else jnp.int32
-        remaps = []
-        for raw, g in gmap.items():
-            while g in gmap:  # chase chains (gmap folds forward; stay safe)
-                g = gmap[g]
-            remaps.append((raw, g))
-        bucket = next((b for b in self.REMAP_BUCKETS
-                       if len(remaps) <= b), None)
-        if bucket is None:
-            lut = np.arange(-1, w_pad * k + 1,
-                            dtype=np.dtype(out_dtype))  # identity
-            for raw, g in remaps:
-                lut[raw + 1] = g
-            return self._apply_lut(committed, jnp.asarray(lut))
-        src = np.full(bucket, -9, np.int32)
-        dst = np.full(bucket, -1, np.int32)
-        for j, (raw, g) in enumerate(remaps):
-            src[j], dst[j] = raw, g
-        return self._apply_remap(committed, jnp.asarray(src),
-                                 jnp.asarray(dst), out_dtype=out_dtype)
 
     def run(self, frames: np.ndarray, windows: List[List[int]],
             seediness_fg_threshold: float = 0.25,
@@ -569,7 +576,7 @@ class FusedSequencePipeline:
             device arrays (labels/fg/multiclass, still padded to l_pad) with
             counts/lifetimes as None — lets callers pipeline the fetch with
             the next sequence's compute. The labels array stays in the
-            int16 LUT transport dtype whenever ``w_pad*k+1 < 2**15``
+            int16 transport dtype whenever ``w_pad*k+1 < 2**15``
             (int32 otherwise) — cast to int32 host-side after fetching,
             as the non-device path does
         :param fetch_multiclass: set False when the writer ignores
@@ -621,25 +628,12 @@ class FusedSequencePipeline:
                           seediness_fg_threshold=seediness_fg_threshold,
                           backend=backend, shape_key=shape_key, band=band)
 
-        # ---- round trip 1: intersection matrices -> association ----
-        inters, n1s, n2s = jax.device_get((out["inters"], out["n1s"],
-                                           out["n2s"]))
-        jobs = []
-        for i in range(1, w_real):
-            cand1 = [max(0, 1 + (i - sched.lookback) * k + m)
-                     for m in range(band)]
-            cand2 = list(range(1 + i * k, 1 + (i + 1) * k))
-            jobs.append((i, cand1, cand2, inters[i], n1s[i], n2s[i]))
-        gmap, _ = fold_and_associate(jobs)
-
-        labels_dev = self._relabel_device(out["committed"], gmap, w_pad)
-
         if device_outputs:
-            return (labels_dev, None, None, out["fg_masks"],
+            return (out["labels"], None, None, out["fg_masks"],
                     out["multiclass_masks"])
 
-        # ---- round trip 2: final volumes ----
-        fetch = [labels_dev, out["fg_masks"]]
+        # ---- the single round trip: final volumes in one fetch ----
+        fetch = [out["labels"], out["fg_masks"]]
         want_mc = fetch_multiclass and out["multiclass_masks"] is not None
         if want_mc:
             fetch.append(out["multiclass_masks"])
@@ -689,15 +683,6 @@ class FusedSequencePipeline:
         self._sharded_cache[key] = fn
         return fn
 
-    @functools.partial(jax.jit, static_argnums=(0,))
-    def _apply_lut_batch(self, committed, luts):
-        return jax.vmap(lambda c, l: l[c + 1])(committed, luts)
-
-    @functools.partial(jax.jit, static_argnums=(0,),
-                       static_argnames=("out_dtype",))
-    def _apply_remap_batch(self, committed, src, dst, *, out_dtype):
-        return jax.vmap(_remap_ids)(committed, src, dst).astype(out_dtype)
-
     def run_batch(self, frames_batch: List[np.ndarray],
                   windows_batch: List[List[List[int]]], mesh,
                   seediness_fg_threshold: float = 0.25,
@@ -711,9 +696,10 @@ class FusedSequencePipeline:
         Sequences of different lengths share one compile: every schedule is
         padded to the batch's (l_pad, w_pad) bucket and padded windows are
         skipped at runtime via ``lax.cond``. The batch is padded to the mesh
-        size by repeating sequence 0 (results discarded). Per-sequence
-        Hungarian association stays on the host between the two fetches,
-        exactly as in :meth:`run`.
+        size by repeating sequence 0 (results discarded). The Hungarian
+        association runs in-graph per device (``lsap.lsa_masked``), so the
+        whole batch is ONE dispatch + ONE fetch with zero per-sequence host
+        work in between.
 
         :param frames_batch: per-sequence frames, uint8 raw (with
             ``resize_hw``) or preprocessed float32; all sequences must share
@@ -768,48 +754,8 @@ class FusedSequencePipeline:
                      "constants": self.engine.constants}
         out = fn(variables, frames, xs)
 
-        # ---- round trip 1: all sequences' intersections in one fetch ----
-        inters, n1s, n2s = jax.device_get((out["inters"], out["n1s"],
-                                           out["n2s"]))
-        remaps: List[List[Tuple[int, int]]] = [[] for _ in range(n_dev)]
-        for b in range(b_real):
-            sched = scheds[b]
-            jobs = []
-            for i in range(1, len(windows_batch[b])):
-                cand1 = [max(0, 1 + (i - sched.lookback) * k + m)
-                         for m in range(band)]
-                cand2 = list(range(1 + i * k, 1 + (i + 1) * k))
-                jobs.append((i, cand1, cand2, inters[b, i], n1s[b, i],
-                             n2s[b, i]))
-            gmap, _ = fold_and_associate(jobs)
-            for raw, g in gmap.items():
-                while g in gmap:
-                    g = gmap[g]
-                remaps[b].append((raw, g))
-
-        out_dtype = jnp.int16 if w_pad * k + 1 < 2 ** 15 else jnp.int32
-        bucket = next((bk for bk in self.REMAP_BUCKETS
-                       if max(len(r) for r in remaps) <= bk), None)
-        if bucket is None:
-            luts = np.tile(np.arange(-1, w_pad * k + 1,
-                                     dtype=np.dtype(out_dtype)), (n_dev, 1))
-            for b, rm in enumerate(remaps):
-                for raw, g in rm:
-                    luts[b, raw + 1] = g
-            labels_dev = self._apply_lut_batch(out["committed"],
-                                               jnp.asarray(luts))
-        else:
-            src = np.full((n_dev, bucket), -9, np.int32)
-            dst = np.full((n_dev, bucket), -1, np.int32)
-            for b, rm in enumerate(remaps):
-                for j, (raw, g) in enumerate(rm):
-                    src[b, j], dst[b, j] = raw, g
-            labels_dev = self._apply_remap_batch(
-                out["committed"], jnp.asarray(src), jnp.asarray(dst),
-                out_dtype=out_dtype)
-
-        # ---- round trip 2: all final volumes in one fetch ----
-        fetch = [labels_dev, out["fg_masks"]]
+        # ---- the single round trip: all final volumes in one fetch ----
+        fetch = [out["labels"], out["fg_masks"]]
         has_mc = fetch_multiclass and out["multiclass_masks"] is not None
         if has_mc:
             fetch.append(out["multiclass_masks"])

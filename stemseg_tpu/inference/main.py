@@ -171,9 +171,9 @@ class TrackGenerator:
         self.chainer = OnlineChainer(cluster_fn,
                                      max_instances=ccfg.max_instances)
 
-        # fused one-jit path: backbone+heads+clustering+intersections for the
-        # whole sequence in ONE dispatch (<=3 host round trips) — used for
-        # every sequence with >= NUM_FRAMES frames; shorter sequences (with
+        # fused one-jit path: backbone+heads+clustering+association for the
+        # whole sequence in ONE dispatch + one fetch — used for every
+        # sequence with >= NUM_FRAMES frames; shorter sequences (with
         # front-padded duplicate frames) take the streaming path above
         from stemseg_tpu.inference.fused_pipeline import FusedSequencePipeline
 
