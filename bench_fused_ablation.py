@@ -241,7 +241,12 @@ def main():
         self.has_new = np.zeros_like(self.has_new)
 
     with _patched(fp._Schedule, "__init__", patched_init):
+        # run()'s schedule memoization (round 5) would hand back the
+        # unpatched baseline schedule — drop it so the patched __init__
+        # actually builds this ablation's has_new=False schedule
+        pipe._schedule_cache.clear()
         t = _time_pipeline(pipe, frames_dev, windows)
+    pipe._schedule_cache.clear()  # don't leak the ablated schedule back
     results["no_backbone_new_ms"] = round(t * 1e3, 1)
     results["backbone_new_in_situ_ms"] = round((t_full - t) * 1e3, 1)
 

@@ -277,10 +277,22 @@ class KittiMOTSDataConfig:
 
 
 @dataclass(frozen=True)
+class SyntheticDataConfig:
+    """Hardware-validation moving-blob clips (``data/synthetic.py``, no
+    reference analogue). height/width 0 -> use the input (min_dim, max_dim)
+    bucket."""
+    height: int = 0
+    width: int = 0
+    max_instances: int = 4
+    seed: int = 0
+
+
+@dataclass(frozen=True)
 class DataConfig:
     davis: DavisDataConfig = field(default_factory=DavisDataConfig)
     youtube_vis: YoutubeVISDataConfig = field(default_factory=YoutubeVISDataConfig)
     kitti_mots: KittiMOTSDataConfig = field(default_factory=KittiMOTSDataConfig)
+    synthetic: SyntheticDataConfig = field(default_factory=SyntheticDataConfig)
 
 
 @dataclass(frozen=True)

@@ -297,6 +297,7 @@ class FusedSequencePipeline:
         self.cluster_full_scale = cluster_full_scale
         self.backend = backend
         self._sharded_cache: Dict = {}
+        self._schedule_cache: Dict = {}
         self._fused = jax.jit(
             self._fused_graph,
             static_argnames=("resize_hw", "semseg_output_type",
@@ -304,6 +305,21 @@ class FusedSequencePipeline:
                              "band"))
 
     # ------------------------------------------------------------------
+
+    def _schedule(self, windows: List[List[int]], k: int, l_pad: int,
+                  w_pad: int) -> _Schedule:
+        """Memoized ``_Schedule``: schedules are pure functions of
+        (windows, k, l_pad, w_pad), and CLI runs call ``run()`` with the
+        same window schedule for every same-length sequence — rebuilding
+        the numpy arrays per call was a measured 6-10 ms of single-core
+        host time on the per-sequence dispatch path (round-5 harness
+        reconciliation, BASELINE.md)."""
+        key = (tuple(tuple(w) for w in windows), k, l_pad, w_pad)
+        sched = self._schedule_cache.get(key)
+        if sched is None:
+            sched = _Schedule(windows, k, l_pad, w_pad)
+            self._schedule_cache[key] = sched
+        return sched
 
     def _cluster_backend(self, p_points: int) -> str:
         if self.backend != "auto":
@@ -596,7 +612,7 @@ class FusedSequencePipeline:
         k = self.cluster_params.max_instances
         l_pad = _round_up(t_total, 16)
         w_pad = _round_up(w_real, 4)
-        sched = _Schedule(windows, k, l_pad, w_pad)
+        sched = self._schedule(windows, k, l_pad, w_pad)
         band = self._band(sched.lookback)
 
         if frames.shape[0] != l_pad:
@@ -723,7 +739,8 @@ class FusedSequencePipeline:
         t_tots = [max(max(w) for w in ws) + 1 for ws in windows_batch]
         l_pad = max(_round_up(tt, 16) for tt in t_tots)
         w_pad = max(_round_up(len(w), 4) for w in windows_batch)
-        scheds = [_Schedule(windows_batch[i], k, l_pad, w_pad) for i in idxs]
+        scheds = [self._schedule(windows_batch[i], k, l_pad, w_pad)
+                  for i in idxs]
         band = max(self._band(s.lookback) for s in scheds)
 
         def pad_frames(f):

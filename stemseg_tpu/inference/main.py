@@ -401,6 +401,10 @@ def main(argv=None):
                              "resolution so each batch shares one compile")
     args = parser.parse_args(argv)
 
+    from stemseg_tpu.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()  # fused-graph compiles are slow via remote-compile
+
     cfg = load_inference_cfg(args.model_path, args.dataset, args.min_dim,
                              args.max_dim, args.min_seediness_prob)
 

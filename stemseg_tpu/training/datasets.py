@@ -109,11 +109,27 @@ def _kitti_mots_dataset(cfg: Config, total_samples: int, print_fn):
     return ConcatDataset(datasets, total_samples, weights)
 
 
+def _synthetic_dataset(cfg: Config, total_samples: int, print_fn):
+    """Hardware-validation mode (no reference analogue): deterministic
+    learnable moving-blob clips, so the full Trainer loop can be driven on
+    real TPU hardware without datasets on disk (``data/synthetic.py``)."""
+    from stemseg_tpu.data.synthetic import SyntheticBlobDataset
+
+    print_fn("Creating SYNTHETIC training dataset (hardware validation)...")
+    scfg = cfg.data.synthetic
+    return SyntheticBlobDataset(cfg.input, total_samples,
+                                height=scfg.height or None,
+                                width=scfg.width or None,
+                                max_instances=scfg.max_instances,
+                                seed=scfg.seed)
+
+
 def create_training_dataset(cfg: Config, total_samples: int, print_fn=print):
     factories = {
         "davis": _davis_dataset,
         "youtube_vis": _youtube_vis_dataset,
         "kitti_mots": _kitti_mots_dataset,
+        "synthetic": _synthetic_dataset,
     }
     mode = cfg.training.mode
     if mode not in factories:

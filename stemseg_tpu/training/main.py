@@ -290,6 +290,10 @@ def make_parser() -> argparse.ArgumentParser:
 def main(argv=None):
     args = make_parser().parse_args(argv)
 
+    from stemseg_tpu.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()  # train-step compiles are slow via remote-compile
+
     from stemseg_tpu.config import load_config, load_preset
 
     if os.path.exists(args.cfg):
