@@ -35,6 +35,15 @@ machine-readable baseline is this repo's ROUND-1 capture of the same
 headline metric (24.97 clips/s, ``BENCH_r01.json``) — the field carries the
 cumulative speedup over the first working implementation.
 
+Compile-latency variance (measured round 5): under the axon tunnel
+``.lower().compile()`` returns in <1 s — the REAL compile happens
+server-side and blocks the first execution, taking 160-1100 s for the SAME
+480p forward HLO depending on service load, and the persistent client
+cache cannot shortcut it (entries are written but first-exec still blocks
+on the server). Stage order therefore puts first-ever measurements right
+after the headline; re-measurements of fields with prior-round records run
+last and absorb any overrun.
+
 Failure semantics (per advisor round 3): a stage that raises logs its FULL
 traceback to stderr and nulls its fields; a stage that HANGS past the
 deadline is abandoned via a watchdog thread (the stuck thread keeps the
@@ -432,15 +441,24 @@ def main():
 
     state = {"abandoned": False}
 
-    def stage(fn, n_out=1, name=""):
+    def stage(fn, n_out=1, name="", exempt=False):
         """Run one bench stage under a watchdog thread. Three outcomes:
         (a) completes -> result; (b) raises -> full traceback to stderr,
         nulls; (c) still running at the deadline -> ABANDONED: the stuck
         thread keeps the device busy, so every later stage is skipped and
-        main() exits via os._exit once the JSON is out."""
+        main() exits via os._exit once the JSON is out.
+
+        ``exempt=True`` (the headline stage): never abandoned — the axon
+        server-side compile blocks the first execution for 160-1100 s
+        depending on service load (round-5 measurements, same HLO), and a
+        null headline exits rc=1, which is strictly worse than letting the
+        driver's own budget decide. After an exempt stage finishes, later
+        stages are guaranteed a 500 s window even if it overran the
+        deadline (incremental emission makes a driver kill graceful)."""
+        nonlocal deadline
         nulls = (None,) * n_out if n_out > 1 else None
         now = time.monotonic()
-        if state["abandoned"] or now > deadline:
+        if not exempt and (state["abandoned"] or now > deadline):
             print(f"bench: {name} skipped (deadline)", file=sys.stderr,
                   flush=True)
             out["failed_stages"].append(f"{name}:skipped")
@@ -455,7 +473,11 @@ def main():
 
         th = threading.Thread(target=run, daemon=True, name=f"bench-{name}")
         th.start()
-        th.join(max(1.0, deadline - now))
+        if exempt:
+            th.join()
+            deadline = max(deadline, time.monotonic() + 500.0)
+        else:
+            th.join(max(1.0, deadline - now))
         elapsed = time.monotonic() - now
         if th.is_alive():
             state["abandoned"] = True
@@ -476,7 +498,7 @@ def main():
     # the headline metric also runs under the watchdog, but a null headline
     # exits nonzero at the end (the driver must see a real `value`)
     hl = stage(lambda: bench_forward(cfg, variables, model, "fp32"), 2,
-               name="forward fp32")
+               name="forward fp32", exempt=True)
     clips_fp32, mfu_fp32 = hl
     if clips_fp32 is not None:
         out["value"] = round(clips_fp32, 4)
@@ -496,9 +518,33 @@ def main():
     out["forward_mfu_bf16"] = r(mfu_bf16, 4)
     emit()
 
-    # train stages BEFORE the e2e stages: round 3 lost the train fields to a
-    # budget overrun; forward+train together cover both headline surfaces
-    # even if the run is killed mid-way
+    # the two non-DAVIS flagship inference geometries (VERDICT r4 item 2)
+    # run EARLY — right after the headline — because they are the fields
+    # with no prior-round record (every later stage has a BENCH_r04 value;
+    # a budget overrun should cost re-measurements, not first measurements).
+    # YT-VIS --resize_embeddings clusters at FULL scale (tiled Pallas
+    # kernel); KITTI-MOTS at --max_dim 1948.
+    ytvis = stage(
+        lambda: bench_e2e_preset("youtube_vis", raw_hw=(720, 1280),
+                                 t_total=16, resize_embeddings=True), 2,
+        name="e2e ytvis resize_embeddings")
+    fps_ytvis, be_ytvis = ytvis
+    out["e2e_device_fps_ytvis_resize"] = r(fps_ytvis, 2)
+    out["ytvis_cluster_backend"] = be_ytvis
+    emit()
+
+    kitti = stage(
+        lambda: bench_e2e_preset("kitti_mots_2", raw_hw=(375, 1242),
+                                 t_total=32, input_dims=(800, 1948)), 2,
+        name="e2e kitti 1948")
+    fps_kitti, be_kitti = kitti
+    out["e2e_device_fps_kitti_1948"] = r(fps_kitti, 2)
+    out["kitti_cluster_backend"] = be_kitti
+    emit()
+
+    # train stages BEFORE the davis e2e stages: round 3 lost the train
+    # fields to a budget overrun; forward+train together cover both
+    # headline surfaces even if the run is killed mid-way
     train_ms, train_sps, train_mfu = stage(
         lambda: bench_train("davis_1"), 3, name="train davis_1 fp32")
     out["train_step_ms_davis1_fp32"] = r(train_ms, 1)
@@ -528,27 +574,6 @@ def main():
 
     h2d_mbps = stage(bench_h2d, name="h2d")
     out["tunnel_h2d_mbps"] = r(h2d_mbps, 1)
-    emit()
-
-    # the two non-DAVIS flagship inference geometries (VERDICT r4 item 2):
-    # YT-VIS --resize_embeddings (full-scale clustering, tiled Pallas
-    # kernel) and KITTI-MOTS --max_dim 1948
-    ytvis = stage(
-        lambda: bench_e2e_preset("youtube_vis", raw_hw=(720, 1280),
-                                 t_total=16, resize_embeddings=True), 2,
-        name="e2e ytvis resize_embeddings")
-    fps_ytvis, be_ytvis = ytvis
-    out["e2e_device_fps_ytvis_resize"] = r(fps_ytvis, 2)
-    out["ytvis_cluster_backend"] = be_ytvis
-    emit()
-
-    kitti = stage(
-        lambda: bench_e2e_preset("kitti_mots_2", raw_hw=(375, 1242),
-                                 t_total=32, input_dims=(800, 1948)), 2,
-        name="e2e kitti 1948")
-    fps_kitti, be_kitti = kitti
-    out["e2e_device_fps_kitti_1948"] = r(fps_kitti, 2)
-    out["kitti_cluster_backend"] = be_kitti
     emit()
 
     # davis_2's 16-frame remat compile is the longest of the run (it killed
