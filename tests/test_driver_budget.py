@@ -90,6 +90,42 @@ def test_first_phase_always_runs(ge):
     assert ran == ["train"]
 
 
+def test_start_by_threshold_skips_unsafe_phase(ge):
+    """A phase whose start threshold has passed is skipped even though the
+    overall deadline has not — starting it could carry the process past
+    the driver's external kill (the r4 rc=124 shape: cold inference
+    compile began late and the timeout hit mid-compile)."""
+    ran = []
+    clock = FakeClock()
+
+    def train():
+        ran.append("train")
+        clock.t += 500.0  # deadline 900 not passed, but > 0.45 * 900
+
+    results = ge._run_phases(
+        [("train", train),
+         ("inference", lambda: ran.append("inference"), 0.45)],
+        deadline_s=900.0, clock=clock)
+    assert ran == ["train"]
+    assert [(n, s) for n, s, _ in results] == [
+        ("train", "ok"), ("inference", "skipped")]
+
+    # under the threshold the phase runs (warm-cache shape: train ~230 s)
+    ran.clear()
+    clock.t = 0.0
+
+    def fast_train():
+        ran.append("train")
+        clock.t += 230.0
+
+    results = ge._run_phases(
+        [("train", fast_train),
+         ("inference", lambda: ran.append("inference"), 0.45)],
+        deadline_s=900.0, clock=clock)
+    assert ran == ["train", "inference"]
+    assert all(s == "ok" for _, s, _ in results)
+
+
 def test_phase_failure_propagates(ge):
     """Assertion failures must still fail the artifact (nonzero exit) —
     the guard trades completeness for rc=0, never correctness."""
@@ -119,8 +155,8 @@ def test_dryrun_multichip_routes_every_phase_through_the_runner(
     monkeypatch.setattr(ge, "_force_cpu_mesh", lambda n: None)
 
     def fake_run_phases(phases, deadline_s=None, clock=time.monotonic):
-        captured["names"] = [n for n, _ in phases]
-        return [(n, "ok", 0.0) for n, _ in phases]
+        captured["names"] = [p[0] for p in phases]
+        return [(p[0], "ok", 0.0) for p in phases]
 
     monkeypatch.setattr(ge, "_run_phases", fake_run_phases)
     ge.dryrun_multichip(8)
