@@ -433,8 +433,30 @@ def main():
         "train_samples_per_sec_davis1": None,
         "train_mfu_davis1_fp32": None,
         "train_mfu_davis1_bf16": None,
+        "sustained_run_recorded": None,
         "failed_stages": [],
     }
+
+    # RECORDED (not re-measured): the round-5 sustained Trainer-loop run on
+    # the real chip — 150 steps at the production davis_1 geometry through
+    # the actual training/main.py loop (prefetch -> jitted step -> logging
+    # -> SIGINT checkpoint at step 60 -> auto-resume -> completion) with a
+    # decreasing synthetic-task loss. scripts/train_sustained.py reproduces
+    # it; SUSTAINED_r05.json is its committed summary. Surfaced here so the
+    # driver record carries the trainability evidence alongside the step
+    # timings (the run itself takes ~25 min — too long for a bench stage).
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "SUSTAINED_r05.json")) as fh:
+            s = json.load(fh)
+        out["sustained_run_recorded"] = {
+            "steps": s["steps"], "interrupted_at": s["interrupted_at"],
+            "resumed": s["resumed"], "loss_first_k": s["loss_first_k"],
+            "loss_last_k": s["loss_last_k"],
+            "steps_per_sec_incl_compile":
+                s["phase2_steps_per_sec_incl_compile"]}
+    except Exception:
+        pass
 
     def emit():
         print(json.dumps(out), flush=True)
