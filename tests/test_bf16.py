@@ -82,6 +82,7 @@ def test_bf16_embedding_error_bound(fwd_pair):
     assert np.median(rel) < 0.05
 
 
+@pytest.mark.slow
 def test_mixed_precision_train_step():
     cfg = _cfg(mixed_precision=True)
     # build_model maps cfg.training.mixed_precision -> bfloat16 compute

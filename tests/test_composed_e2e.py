@@ -52,8 +52,8 @@ from knife_edge import (
 )
 from stemseg_tpu.utils import rle as rle_codec
 
-pytestmark = pytest.mark.skipif(not os.path.isdir("/root/reference"),
-                                reason="reference repo not available")
+pytestmark = [pytest.mark.slow, pytest.mark.skipif(not os.path.isdir("/root/reference"),
+                                reason="reference repo not available")]
 
 _RUNNER = os.path.join(os.path.dirname(__file__), "ref_e2e_runner.py")
 

@@ -8,8 +8,8 @@ import sys
 
 import pytest
 
-pytestmark = pytest.mark.skipif(not os.path.isdir("/root/reference"),
-                                reason="reference repo not available")
+pytestmark = [pytest.mark.slow, pytest.mark.skipif(not os.path.isdir("/root/reference"),
+                                reason="reference repo not available")]
 
 sys.path.insert(0, os.path.dirname(__file__))
 

@@ -64,6 +64,7 @@ def _make_checkpoint(tmp_path):
     return path
 
 
+@pytest.mark.slow
 def test_inference_cli_davis(tmp_path, monkeypatch):
     from stemseg_tpu.inference import main as inference_main
     from stemseg_tpu.utils.timer import Timer
@@ -243,6 +244,7 @@ def test_inference_cli_kittimots(tmp_path, monkeypatch):
     assert os.path.isdir(os.path.join(out_dir, "results_nms"))
 
 
+@pytest.mark.slow
 def test_inference_cli_davis_data_parallel(tmp_path, monkeypatch):
     """--data_parallel (one sequence per device over the 8-device CPU mesh)
     must produce byte-identical PNGs to the serial run, including the

@@ -38,6 +38,7 @@ def test_lsa_numpy_matches_scipy():
         np.testing.assert_array_equal(c, c_ref)
 
 
+@pytest.mark.slow
 def test_lsa_masked_matches_scipy_compacted():
     """lsa_masked on a padded matrix == scipy on the compacted matrix."""
     import jax

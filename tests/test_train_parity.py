@@ -28,8 +28,8 @@ import sys
 import numpy as np
 import pytest
 
-pytestmark = pytest.mark.skipif(not os.path.isdir("/root/reference"),
-                                reason="reference repo not available")
+pytestmark = [pytest.mark.slow, pytest.mark.skipif(not os.path.isdir("/root/reference"),
+                                reason="reference repo not available")]
 
 _E2E_RUNNER = os.path.join(os.path.dirname(__file__), "ref_e2e_runner.py")
 _TRAIN_RUNNER = os.path.join(os.path.dirname(__file__), "ref_train_runner.py")

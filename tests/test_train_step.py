@@ -48,6 +48,7 @@ def setup():
     return cfg, model, batch, state, tx
 
 
+@pytest.mark.slow
 def test_loss_decreases(setup):
     cfg, model, batch, state, tx = setup
     step = make_train_step(model, cfg, tx, donate=False)
@@ -80,6 +81,7 @@ def test_frozen_params_unchanged(setup):
     assert not np.array_equal(np.asarray(b2), np.asarray(a2))
 
 
+@pytest.mark.slow
 def test_frozen_stage_grads_pruned(setup):
     """The backward never computes frozen-stage weight grads: the module's
     stop_gradient at the freeze_at_stage boundary (resnet.py) yields exact
@@ -115,6 +117,7 @@ def test_freeze_labels_full_backbone():
             assert lab == "trainable", path
 
 
+@pytest.mark.slow
 def test_sharded_train_step_8dev():
     assert jax.device_count() >= 8, "conftest must provide 8 virtual devices"
     from stemseg_tpu.parallel import create_mesh, shard_batch
@@ -144,6 +147,7 @@ def test_sharded_train_step_8dev():
                                rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_loss_at_full_res_path():
     """LOSS_AT_FULL_RES: outputs upscaled 4x, targets stay full-res
     (model_builder.py:197-206 / resize_masks :139-151)."""

@@ -87,6 +87,7 @@ def test_checkpoint_roundtrip(tmp_path):
     assert remaining == ["000200.ckpt", "000300.ckpt"]
 
 
+@pytest.mark.slow
 def test_trainer_end_to_end(tmp_path, tiny_cfg_file, monkeypatch):
     """Four optimizer iterations on a fake dataset; checkpoint written;
     metrics logged; resume picks up the step counter."""
