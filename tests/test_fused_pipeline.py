@@ -257,3 +257,30 @@ def test_fused_prepadded_frames_slice_to_true_length(setup):
     assert got[0].shape[0] == 10 and got[3].shape[0] == 10
     np.testing.assert_array_equal(want[0], got[0])
     assert want[1] == got[1] and want[2] == got[2]
+
+
+def test_schedule_memoized_across_runs(setup):
+    """run() reuses ONE _Schedule per (windows, k, l_pad, w_pad) — the
+    round-5 memoization that removed 6-10 ms/call of host schedule
+    rebuild from the dispatch path. Identity (not equality): a rebuilt
+    schedule would silently re-pay the cost. Different windows must get a
+    different schedule, and clearing the cache (the ablation harness's
+    contract while patching _Schedule.__init__) forces a rebuild."""
+    cfg, model, variables, frames = setup
+    params = _params(cfg)
+    engine = InferenceEngine(cfg, variables)
+    pipe = FusedSequencePipeline(engine, params, backend="xla")
+
+    windows, _ = get_subsequence_frames(10, 4, 2)
+    s1 = pipe._schedule(windows, params.max_instances, 16, 8)
+    s2 = pipe._schedule(windows, params.max_instances, 16, 8)
+    assert s1 is s2
+
+    windows2, _ = get_subsequence_frames(8, 4, 2)
+    s3 = pipe._schedule(windows2, params.max_instances, 16, 8)
+    assert s3 is not s1
+
+    pipe._schedule_cache.clear()
+    s4 = pipe._schedule(windows, params.max_instances, 16, 8)
+    assert s4 is not s1
+    np.testing.assert_array_equal(s4.win_frames, s1.win_frames)
