@@ -217,9 +217,13 @@ def main():
 
         # ---- no_scatter: semseg accumulation stubbed (derive_masks then
         # sees constant zeros; clustering still runs on live emb/bw/seed) ----
-        def zero_scatter(acc, cnt, tgt, wmap):
+        def zero_scatter(acc, cnt, start, wmap):
             eps = 1e-30 * jnp.sum(wmap)  # keep the heads' wmap output alive
-            return acc + eps, cnt.at[tgt].add(1.0)
+            t_win = wmap.shape[0]
+            cblk = jax.lax.dynamic_slice_in_dim(cnt, start, t_win, axis=0)
+            cnt = jax.lax.dynamic_update_slice_in_dim(cnt, cblk + 1.0, start,
+                                                      axis=0)
+            return acc + eps, cnt
 
         with _patched(fp, "_semseg_scatter", zero_scatter):
             pipe_s = fp.FusedSequencePipeline(InferenceEngine(cfg, variables),

@@ -134,7 +134,8 @@ class _Schedule:
         write_rows = []   # [W, S] primary ring row to write (trash unused)
         write_rows2 = []  # [W, S] mirror ring row (trash when p > T-2)
         win_start = []    # [W] ring row the heads' T-row slice starts at
-        scatter_tgt = []  # [W, T] semseg scatter frame (l_pad = trash)
+        scatter_start = []  # [W] first frame of the window's contiguous
+                            # accumulator block (l_pad = trash block)
         commit_tgt = []   # [W, T] committed-volume row (l_pad = trash)
         win_frames = []   # [W, T] frame ids (fg gather / committed gather)
         overlap_msk = []  # [W, T] 1.0 where frame shared with previous window
@@ -156,7 +157,7 @@ class _Schedule:
                                            self.trash_row))
                 write_rows2.append(pad_list([mirror_row(t) for t in new], s,
                                             self.trash_row))
-                scatter_tgt.append(list(win))
+                scatter_start.append(win[0])
                 commit_tgt.append([t if t in new_per_win[i] else l_pad
                                    for t in win])
                 if i == 0:
@@ -184,7 +185,7 @@ class _Schedule:
                 has_new.append(False)
                 write_rows.append([self.trash_row] * s)
                 write_rows2.append([self.trash_row] * s)
-                scatter_tgt.append([l_pad] * t_win)
+                scatter_start.append(l_pad)
                 commit_tgt.append([l_pad] * t_win)
                 overlap_msk.append([0.0] * t_win)
                 is_real.append(False)
@@ -200,7 +201,7 @@ class _Schedule:
         self.prelude_rows = np.asarray([t % ring for t in windows[0]], i32)
         self.prelude_mirror = np.asarray([mirror_row(t) for t in windows[0]],
                                          i32)
-        self.scatter_tgt = np.asarray(scatter_tgt, i32)
+        self.scatter_start = np.asarray(scatter_start, i32)
         self.commit_tgt = np.asarray(commit_tgt, i32)
         self.win_frames = np.asarray(win_frames, i32)
         self.overlap_msk = np.asarray(overlap_msk, np.float32)
@@ -219,7 +220,7 @@ class _Schedule:
             "win_start": self.win_start,
             "prelude_rows": self.prelude_rows,
             "prelude_mirror": self.prelude_mirror,
-            "scatter_tgt": self.scatter_tgt,
+            "scatter_start": self.scatter_start,
             "commit_tgt": self.commit_tgt,
             "win_frames": self.win_frames,
             "overlap_msk": self.overlap_msk,
@@ -233,12 +234,24 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _semseg_scatter(acc, cnt, tgt, wmap):
+def _semseg_scatter(acc, cnt, start, wmap):
     """Per-window semseg-logit accumulation (the reference's overlapping-
-    window averaging, ``inference_model.py:121-128``). Module-level so the
-    ablation harness (``bench_fused_ablation.py``) can stub it; jit inlines
-    it either way."""
-    return acc.at[tgt].add(wmap), cnt.at[tgt].add(1.0)
+    window averaging, ``inference_model.py:121-128``) as ONE contiguous
+    slice + add + update-slice instead of a row scatter-add: window frames
+    are a contiguous run (asserted in ``_Schedule``), and a T-row
+    scatter-add lowered to serialized per-row updates — measured
+    15.5 ms/sequence fp32 in the round-5 ablation vs ~bulk-DMA cost for
+    the slice form (same bytes, same single addition per pixel, so the
+    accumulated float values are bit-identical; padded windows point
+    ``start`` at the trash block past ``l_pad`` and add zeros). Module-
+    level so the ablation harness (``bench_fused_ablation.py``) can stub
+    it; jit inlines it either way."""
+    t_win = wmap.shape[0]
+    blk = jax.lax.dynamic_slice_in_dim(acc, start, t_win, axis=0)
+    acc = jax.lax.dynamic_update_slice_in_dim(acc, blk + wmap, start, axis=0)
+    cblk = jax.lax.dynamic_slice_in_dim(cnt, start, t_win, axis=0)
+    cnt = jax.lax.dynamic_update_slice_in_dim(cnt, cblk + 1.0, start, axis=0)
+    return acc, cnt
 
 
 def _remap_ids(committed, src, dst):
@@ -258,12 +271,18 @@ def _intersection_block(existing, labels, ov, cand1, cand2):
     in-graph). Module-level for the ablation harness."""
     a = jnp.where(ov, existing, -7).reshape(-1)
     b = jnp.where(ov, labels, -7).reshape(-1)
-    oh1 = (a[None, :] == cand1[:, None]).astype(jnp.float32)
-    oh2 = (b[None, :] == cand2[:, None]).astype(jnp.float32)
+    # bf16 one-hots (round 5): exactly representable 0/1 values with f32
+    # accumulation in both the dot and the sums, so every count is exact
+    # (pixel counts < 2^24) while the materialized [band|k, P] operands
+    # halve their bytes — the block's in-situ cost is memory-bound, not
+    # MXU-bound (17.5 ms/sequence fp32 in the round-5 ablation)
+    oh1 = (a[None, :] == cand1[:, None]).astype(jnp.bfloat16)
+    oh2 = (b[None, :] == cand2[:, None]).astype(jnp.bfloat16)
     inter = jax.lax.dot_general(
         oh1, oh2, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)
-    return inter, jnp.sum(oh1, axis=1), jnp.sum(oh2, axis=1)
+    return (inter, jnp.sum(oh1, axis=1, dtype=jnp.float32),
+            jnp.sum(oh2, axis=1, dtype=jnp.float32))
 
 
 class FusedSequencePipeline:
@@ -382,13 +401,16 @@ class FusedSequencePipeline:
             h_m, w_m = int(ph // 4 * ss), int(pw // 4 * ss)
             n_map_ch = eng.cfg.input.num_classes + (
                 1 if eng.semseg_head.foreground_channel else 0)
-            acc0 = jnp.zeros((l_pad + 1, h_m, w_m, n_map_ch), jnp.float32)
+            # + t_win trash rows: padded windows' slice-add block
+            # starts at l_pad (see _semseg_scatter)
+            acc0 = jnp.zeros((l_pad + t_win, h_m, w_m, n_map_ch),
+                             jnp.float32)
         else:
             assert not self.cluster_full_scale, \
                 "full-scale clustering requires the semseg head's fg masks"
             h_m, w_m = ph // 4, pw // 4
-            acc0 = jnp.zeros((l_pad + 1, h_m, w_m), jnp.float32)
-        cnt0 = jnp.zeros((l_pad + 1,), jnp.float32)
+            acc0 = jnp.zeros((l_pad + t_win, h_m, w_m), jnp.float32)
+        cnt0 = jnp.zeros((l_pad + t_win,), jnp.float32)
 
         e_dim = eng.embedding_size
         v_dim = eng.variance_channels
@@ -450,16 +472,18 @@ class FusedSequencePipeline:
 
             emb, bw, seed, wmap = jax.lax.cond(x["is_real"], real, skip,
                                                None)
-            # padded windows scatter zeros into the l_pad trash row (the
-            # schedule's scatter_tgt) — never read back
-            acc, cnt = _semseg_scatter(acc, cnt, x["scatter_tgt"], wmap)
+            # padded windows add zeros into the trash block at l_pad
+            # (the schedule's scatter_start) — never read back
+            acc, cnt = _semseg_scatter(acc, cnt, x["scatter_start"], wmap)
             return (rings, acc, cnt), (emb, bw, seed)
 
         (_, acc, cnt), (embs, bws, seeds) = jax.lax.scan(
             scan_a, (rings, acc0, cnt0), jax.tree.map(jnp.asarray, xs))
 
-        mean = acc / jnp.maximum(cnt, 1.0).reshape(
-            (l_pad + 1,) + (1,) * (acc.ndim - 1))
+        # trash rows (>= l_pad) are dropped before the mean so derive_masks
+        # never touches them (scan B reads only rows < l_pad)
+        mean = acc[:l_pad] / jnp.maximum(cnt[:l_pad], 1.0).reshape(
+            (l_pad,) + (1,) * (acc.ndim - 1))
         fg_masks, multiclass = derive_masks(
             mean, has_semseg=eng.semseg_head is not None,
             semseg_output_type=semseg_output_type,
