@@ -379,7 +379,15 @@ class FusedSequencePipeline:
         # inputs to bf16, so a bf16 ring is bit-identical to the fp32 one
         # while halving the ring store+gather HBM traffic per window
         ring_dtype = eng.dtype or jnp.float32
-        rings = tuple(jnp.zeros((ring_rows, ph // s, pw // s, c), ring_dtype)
+        # rings are stored H/W-TRANSPOSED ([rows, W, H, C]): the heads'
+        # convs consume window features in an H-minor layout, and with the
+        # natural [rows, H, W, C] storage XLA's layout assignment converted
+        # the WHOLE carried ring to that layout every window (an xplane-
+        # profiled 28.5 ms/sequence bf16 copy, ~1 ms/window — round 5).
+        # Transposed storage makes the ring's default layout coincide with
+        # the consumer's, so the T-row read is a bitcast; the layout work
+        # moves to the <=S-row write (a ~2-row transpose, ~zero)
+        rings = tuple(jnp.zeros((ring_rows, pw // s, ph // s, c), ring_dtype)
                       for s in scales)
 
         # ---------- prelude: window 0's T frames ----------
@@ -391,7 +399,8 @@ class FusedSequencePipeline:
                                         variables=variables)
         prelude_wr = jnp.concatenate([prelude_rows, prelude_mirror])
         rings = tuple(
-            r.at[prelude_wr].set(jnp.concatenate([f, f]).astype(r.dtype))
+            r.at[prelude_wr].set(
+                jnp.concatenate([f, f]).swapaxes(1, 2).astype(r.dtype))
             for r, f in zip(rings, feats0))
 
         # semseg accumulator dims (4x head scale x optional resize); without
@@ -432,7 +441,7 @@ class FusedSequencePipeline:
                 batch = frames[x["new_ids"]]
                 feats = eng._backbone_features(batch, resize_hw,
                                                variables=variables)
-                return tuple(f.astype(r.dtype)
+                return tuple(f.swapaxes(1, 2).astype(r.dtype)
                              for f, r in zip(feats, rings))
 
             def no_new(_):
@@ -454,7 +463,10 @@ class FusedSequencePipeline:
                 window = tuple(
                     jax.lax.dynamic_slice_in_dim(r, x["win_start"], t_win,
                                                  axis=0) for r in rings)
-                coarsest_first = [f[None] for f in window[::-1]]
+                # un-transpose back to [T, H, W, C] — a bitcast given the
+                # ring's layout now matches the heads' H-minor preference
+                coarsest_first = [f.swapaxes(1, 2)[None]
+                                  for f in window[::-1]]
                 emb, bw, seed, semseg = eng._heads_from_features(
                     coarsest_first, variables=variables)
                 wmap = semseg if eng.semseg_head is not None else seed
