@@ -33,6 +33,7 @@ import os
 import signal
 import subprocess
 import sys
+import threading
 import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -70,8 +71,23 @@ def run_phase(cmd, interrupt_at=None, log_path=None, timeout_s=3600):
                             cwd=REPO, start_new_session=True)
     lines = []
     sent = False
-    t0 = time.time()
     log_fh = open(log_path, "a") if log_path else None
+
+    # hard watchdog: the stdout loop below only observes time when a line
+    # arrives, so a SILENTLY hung trainer (e.g. a stalled server-side
+    # compile blocking the first execution) would otherwise never time out
+    timed_out = threading.Event()
+
+    def _kill():
+        timed_out.set()
+        try:
+            os.killpg(proc.pid, signal.SIGKILL)
+        except ProcessLookupError:
+            pass
+
+    watchdog = threading.Timer(timeout_s, _kill)
+    watchdog.daemon = True
+    watchdog.start()
     try:
         for line in proc.stdout:
             lines.append(line.rstrip("\n"))
@@ -91,13 +107,14 @@ def run_phase(cmd, interrupt_at=None, log_path=None, timeout_s=3600):
                     print(f"+ sending SIGINT (saw iter {it})", flush=True)
                     os.killpg(proc.pid, signal.SIGINT)
                     sent = True
-            if time.time() - t0 > timeout_s:
-                os.killpg(proc.pid, signal.SIGKILL)
-                raise TimeoutError(f"phase exceeded {timeout_s}s")
     finally:
+        watchdog.cancel()
         if log_fh:
             log_fh.close()
-    return proc.wait(), lines
+    rc = proc.wait()
+    if timed_out.is_set():
+        raise TimeoutError(f"phase exceeded {timeout_s}s (trainer killed)")
+    return rc, lines
 
 
 def main():
@@ -114,6 +131,13 @@ def main():
         "final JSONL record lands exactly on the last step"
 
     os.makedirs(args.model_dir, exist_ok=True)
+    stale = [f for f in os.listdir(args.model_dir)
+             if f.endswith(".ckpt") or f == "logs"]
+    if stale:
+        sys.exit(f"--model_dir {args.model_dir} holds a previous run "
+                 f"({sorted(stale)[:3]}...): phase 1 would auto-resume from "
+                 "its final checkpoint and the JSONL curves would merge — "
+                 "pass a fresh directory or delete it first")
     cfg_path = os.path.join(args.model_dir, "sustained.yaml")
     write_cfg(cfg_path, args.steps, args.height, args.width)
 

@@ -16,8 +16,12 @@ import pytest
 
 
 def _load_graft_entry():
+    import os
+
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "__graft_entry__.py")
     spec = importlib.util.spec_from_file_location(
-        "graft_entry_under_test", "/root/repo/__graft_entry__.py")
+        "graft_entry_under_test", path)
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
     return mod
